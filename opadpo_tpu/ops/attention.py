@@ -1,0 +1,417 @@
+"""Attention ops: XLA reference + Pallas TPU flash attention (fwd/bwd).
+
+Replaces flash-attn 2.5.3 CUDA kernels (reference ``environment.yaml``,
+``qlora_model.py:135,147``) with a TPU-native design:
+
+- ``multi_head_attention`` is the single public entry point used by both
+  the CLIP tower (bidirectional) and the LLaMA decoder (causal).
+- The mask model is exactly what OPA-DPO needs (SURVEY §5 long-context
+  note): a per-row *key validity* mask ``[B, S]`` combined with an optional
+  causal constraint.  Padding masks and the CoPO image-patch attention mask
+  (reference ``dpo_trainer.py:307-323``) are both expressed as key masks of
+  the full spliced sequence, so one kernel serves training, CoPO, and any
+  future sequence sharding.
+
+Kernel structure (tuned for OPA-DPO's seq lengths, ≤ ~2k):
+grid = (batch, heads, q-blocks); K/V for the whole (b, h) row live in VMEM
+(re-used across q-blocks because their index map ignores the q index), and
+an in-kernel ``fori_loop`` with a *dynamic causal bound* walks KV blocks —
+so causal sparsity is actually skipped, and the grid stays small enough
+that per-step overhead doesn't dominate (a (B,H,Sq/128,Sk/128) grid was
+measured ~25x slower on v5e than this layout).  Online softmax in f32,
+logsumexp saved for the backward; backward = separate dq and dk/dv kernels
+with the same structure.
+
+Fully-masked rows degrade to a uniform distribution over keys instead of
+NaN (pad queries are ignored by every downstream loss).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+# Above this padded length the full-KV-in-VMEM layout stops fitting; fall
+# back to XLA (OPA-DPO never exceeds 2048 — reference model_max_length).
+MAX_FLASH_SEQ = 4096
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(x, m):
+    return _cdiv(x, m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation (used on CPU tests and as numerics oracle)
+# ---------------------------------------------------------------------------
+
+def mha_reference(
+    q: jax.Array,            # [B, Sq, H, D]
+    k: jax.Array,            # [B, Sk, H, D]
+    v: jax.Array,            # [B, Sk, H, D]
+    key_mask: Optional[jax.Array] = None,   # [B, Sk] bool
+    causal: bool = True,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    sq, sk = q.shape[1], k.shape[1]
+    mask = jnp.ones((sq, sk), dtype=bool)
+    if causal:
+        # offset supports decode where sq < sk (query aligned to the end)
+        offset = sk - sq
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        mask = col <= (row + offset)
+    mask = mask[None, None]
+    if key_mask is not None:
+        mask = jnp.logical_and(mask, key_mask[:, None, None, :])
+    logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention — forward
+# ---------------------------------------------------------------------------
+
+def _masked_scores(q, k_blk, kmask_blk, i, jj, scale, causal, bq, bk):
+    """Scaled, masked scores for one (q-block, kv-block) tile, f32."""
+    s = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                  # [bq, bk]
+    mask = jnp.broadcast_to((kmask_blk != 0)[None, :], s.shape)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * bq
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jj * bk
+        mask = jnp.logical_and(mask, col <= row)
+    return jnp.where(mask, s, _NEG_INF)
+
+
+def _causal_kv_bound(i, bq, bk, nkv):
+    """Number of kv blocks a causal q-block i needs (dynamic in i)."""
+    return jnp.minimum(nkv, (i * bq + bq + bk - 1) // bk)
+
+
+def _fwd_kernel(km_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                *, causal, scale, bq, bk, nkv):
+    i = pl.program_id(2)
+    q = q_ref[0, 0]                            # [bq, d]
+    d = q.shape[-1]
+
+    def body(jj, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[0, 0, pl.ds(jj * bk, bk), :]
+        v_blk = v_ref[0, 0, pl.ds(jj * bk, bk), :]
+        kmask_blk = km_ref[0, 0, pl.ds(jj * bk, bk)]
+        s = _masked_scores(q, k_blk, kmask_blk, i, jj, scale, causal, bq, bk)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    bound = _causal_kv_bound(i, bq, bk, nkv) if causal else nkv
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, bound, body, (m0, l0, acc0))
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+    lse = jnp.where(l == 0.0, _NEG_INF, m + jnp.log(l_safe))   # [bq, 1]
+    lse_ref[0, 0] = jnp.broadcast_to(lse, (bq, 8))
+
+
+def _flash_fwd(q, k, v, key_mask, causal, scale, bq, bk):
+    """q,k,v: [B, H, S, D] padded; key_mask: [B, 1, S] int32 → (o, lse)."""
+    b, h, s, d = q.shape
+    grid = (b, h, s // bq)
+    kernel = functools.partial(
+        _fwd_kernel, causal=causal, scale=scale, bq=bq, bk=bk, nkv=s // bk
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, s), lambda b_, h_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_, i: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_, i: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s, 8), jnp.float32),
+        ],
+        interpret=_interpret_mode(),
+    )(key_mask, q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention — backward
+# ---------------------------------------------------------------------------
+
+def _dq_kernel(km_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, *, causal, scale, bq, bk, nkv):
+    i = pl.program_id(2)
+    q = q_ref[0, 0]                            # [bq, d]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][:, 0:1]
+    delta = delta_ref[0, 0][:, 0:1]
+    d = q.shape[-1]
+
+    def body(jj, dq_acc):
+        k_blk = k_ref[0, 0, pl.ds(jj * bk, bk), :]
+        v_blk = v_ref[0, 0, pl.ds(jj * bk, bk), :]
+        kmask_blk = km_ref[0, 0, pl.ds(jj * bk, bk)]
+        s = _masked_scores(q, k_blk, kmask_blk, i, jj, scale, causal, bq, bk)
+        p = jnp.exp(s - lse)                   # [bq, bk]
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        return dq_acc + jax.lax.dot_general(
+            ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    bound = _causal_kv_bound(i, bq, bk, nkv) if causal else nkv
+    dq = jax.lax.fori_loop(0, bound, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(km_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, *, causal, scale, bq, bk, nq):
+    j = pl.program_id(2)                       # kv block index
+    k_blk = k_ref[0, 0]                        # [bk, d]
+    v_blk = v_ref[0, 0]
+    kmask_blk = km_ref[0, 0]
+    d = k_blk.shape[-1]
+
+    def body(ii, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, 0, pl.ds(ii * bq, bq), :]
+        do = do_ref[0, 0, pl.ds(ii * bq, bq), :]
+        lse = lse_ref[0, 0, pl.ds(ii * bq, bq), 0:1]
+        delta = delta_ref[0, 0, pl.ds(ii * bq, bq), 0:1]
+        s = _masked_scores(q, k_blk, kmask_blk, ii, j, scale, causal, bq, bk)
+        p = jnp.exp(s - lse)                   # [bq, bk]
+        dv_new = dv_acc + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        dk_new = dk_acc + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_new, dv_new
+
+    # Causal: q blocks strictly before this kv block never attend to it.
+    start = jnp.asarray((j * bk) // bq, jnp.int32) if causal else 0
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(start, nq, body, (dk0, dv0))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, key_mask, o, lse, do, causal, scale, bq, bk):
+    b, h, s, d = q.shape
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 8))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, causal=causal, scale=scale,
+                          bq=bq, bk=bk, nkv=s // bk),
+        grid=(b, h, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, s), lambda b_, h_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_, i: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_, i: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        interpret=_interpret_mode(),
+    )(key_mask, q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, causal=causal, scale=scale,
+                          bq=bq, bk=bk, nq=s // bq),
+        grid=(b, h, s // bk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bk), lambda b_, h_, j: (b_, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_, j: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, j: (b_, h_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, j: (b_, h_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_, j: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, 8), lambda b_, h_, j: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, 8), lambda b_, h_, j: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, j: (b_, h_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, j: (b_, h_, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, s, d), v.dtype),
+        ],
+        interpret=_interpret_mode(),
+    )(key_mask, q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper over padded [B, H, S, D] tensors
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention_padded(q, k, v, key_mask, causal, scale, bq, bk):
+    o, _ = _flash_fwd(q, k, v, key_mask, causal, scale, bq, bk)
+    return o
+
+
+def _flash_attention_padded_fwd(q, k, v, key_mask, causal, scale, bq, bk):
+    o, lse = _flash_fwd(q, k, v, key_mask, causal, scale, bq, bk)
+    return o, (q, k, v, key_mask, o, lse)
+
+
+def _flash_attention_padded_bwd(causal, scale, bq, bk, res, do):
+    q, k, v, key_mask, o, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, key_mask, o, lse, do, causal, scale, bq, bk)
+    return dq, dk, dv, None
+
+
+_flash_attention_padded.defvjp(
+    _flash_attention_padded_fwd, _flash_attention_padded_bwd
+)
+
+
+def _interpret_mode() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def flash_attention(
+    q: jax.Array,            # [B, Sq, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Pallas flash attention over [B, S, H, D] inputs (pads internally)."""
+    b, s, h, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    if key_mask is None:
+        key_mask = jnp.ones((b, s), dtype=jnp.int32)
+    key_mask = key_mask.astype(jnp.int32)
+
+    s_aligned = _round_up(s, 128)
+    block_q = min(block_q, s_aligned)
+    block_k = min(block_k, s_aligned)
+    s_pad = _round_up(s, max(block_q, block_k))
+    d_pad = _round_up(d, 128)
+
+    def pad_to(x, target_s, target_d):
+        return jnp.pad(
+            x, ((0, 0), (0, target_s - x.shape[1]), (0, 0),
+                (0, target_d - x.shape[3]))
+        )
+
+    qp = pad_to(q, s_pad, d_pad).transpose(0, 2, 1, 3)
+    kp = pad_to(k, s_pad, d_pad).transpose(0, 2, 1, 3)
+    vp = pad_to(v, s_pad, d_pad).transpose(0, 2, 1, 3)
+    km = jnp.pad(key_mask, ((0, 0), (0, s_pad - s)))[:, None, :]
+
+    o = _flash_attention_padded(qp, kp, vp, km, causal, scale, block_q, block_k)
+    return o.transpose(0, 2, 1, 3)[:, :s, :, :d]
+
+
+def multi_head_attention(
+    q: jax.Array,            # [B, Sq, H, D]
+    k: jax.Array,            # [B, Sk, H, D]
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatching attention entry point.
+
+    impl: "auto" (flash on TPU for self-attention shapes, else XLA),
+    "flash", or "xla".
+    """
+    if impl == "auto":
+        use_flash = (
+            jax.default_backend() == "tpu"
+            and q.shape[1] == k.shape[1]
+            and q.shape[1] <= MAX_FLASH_SEQ
+        )
+        impl = "flash" if use_flash else "xla"
+    if impl == "flash":
+        if q.shape[1] != k.shape[1]:
+            raise ValueError("flash impl requires self-attention (Sq == Sk)")
+        return flash_attention(q, k, v, key_mask=key_mask, causal=causal,
+                               scale=scale)
+    return mha_reference(q, k, v, key_mask=key_mask, causal=causal, scale=scale)
