@@ -1,0 +1,278 @@
+"""LLaMA / Vicuna decoder in functional JAX (TPU-first).
+
+Implements the language side of ``LlavaLlamaForCausalLM`` (the reference
+clones haotian-liu/LLaVA for this — SURVEY §2.9).  Design:
+
+- Params = nested dict pytree; all decoder layers are *stacked* along a
+  leading layer axis and the forward is one ``lax.scan`` with
+  ``jax.checkpoint`` on the layer body — single compilation of one layer,
+  rematerialized activations (HBM-for-FLOPs, the TPU analogue of the
+  reference's gradient checkpointing flag).
+- Attention is the Pallas flash kernel for full-sequence passes and an XLA
+  dot over the static KV cache for single-token decode (the cache mirrors
+  the reference's static ``config.cache_shape`` allocation,
+  ``rl_models.py:157-162``).
+- RoPE positions come from ``cumsum(mask)-1`` like HF/LLaVA's
+  ``prepare_inputs_for_generation`` so left-padded batches match GPU
+  numerics.
+- LoRA adapters attach to every linear (wq/wk/wv/wo/w_gate/w_up/w_down and
+  optionally embed/lm_head) via ``lora_dense`` — reference recipe "all
+  linear layers" (``qlora_model.py:24-41``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from opadpo_tpu.models.lora import lora_dense, tree_get, init_lora_entry, LoraConfig
+from opadpo_tpu.ops.attention import multi_head_attention, mha_reference
+from opadpo_tpu.ops.rope import rope_frequencies, apply_rope
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    max_position_embeddings: int = 4096
+    rope_base: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def llava_7b() -> "LlamaConfig":
+        return LlamaConfig()
+
+    @staticmethod
+    def llava_13b() -> "LlamaConfig":
+        return LlamaConfig(hidden_size=5120, intermediate_size=13824,
+                           num_layers=40, num_heads=40, num_kv_heads=40)
+
+    @staticmethod
+    def tiny(vocab_size: int = 512) -> "LlamaConfig":
+        """Random-weights debug config — the TPU analogue of the reference's
+        ``skip_loading_weights`` fake-model hook (SURVEY §4)."""
+        return LlamaConfig(vocab_size=vocab_size, hidden_size=128,
+                           intermediate_size=352, num_layers=2,
+                           num_heads=2, num_kv_heads=2, head_dim=64,
+                           max_position_embeddings=2048)
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig) -> dict:
+    """Random init (debug/testing; real weights come from the loader)."""
+    k = jax.random.split(key, 12)
+    d, i, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    s = 0.02
+
+    def nrm(kk, shape):
+        return (jax.random.normal(kk, shape, jnp.float32) * s).astype(cfg.dtype)
+
+    return {
+        "embed": nrm(k[0], (cfg.vocab_size, d)),
+        "layers": {
+            "attn_norm": jnp.ones((l, d), jnp.float32),
+            "mlp_norm": jnp.ones((l, d), jnp.float32),
+            "wq": nrm(k[1], (l, d, nh * hd)),
+            "wk": nrm(k[2], (l, d, nkv * hd)),
+            "wv": nrm(k[3], (l, d, nkv * hd)),
+            "wo": nrm(k[4], (l, nh * hd, d)),
+            "w_gate": nrm(k[5], (l, d, i)),
+            "w_up": nrm(k[6], (l, d, i)),
+            "w_down": nrm(k[7], (l, i, d)),
+        },
+        "final_norm": jnp.ones((d,), jnp.float32),
+        "lm_head": nrm(k[8], (d, cfg.vocab_size)),
+    }
+
+
+def init_lora(key: jax.Array, cfg: LlamaConfig, lora_cfg: LoraConfig) -> dict:
+    """Adapters over all decoder linears (reference find_all_linear_names)."""
+    d, i, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    ks = jax.random.split(key, 7)
+    return {
+        "layers": {
+            "wq": init_lora_entry(ks[0], d, nh * hd, lora_cfg, stacked=l),
+            "wk": init_lora_entry(ks[1], d, nkv * hd, lora_cfg, stacked=l),
+            "wv": init_lora_entry(ks[2], d, nkv * hd, lora_cfg, stacked=l),
+            "wo": init_lora_entry(ks[3], nh * hd, d, lora_cfg, stacked=l),
+            "w_gate": init_lora_entry(ks[4], d, i, lora_cfg, stacked=l),
+            "w_up": init_lora_entry(ks[5], d, i, lora_cfg, stacked=l),
+            "w_down": init_lora_entry(ks[6], i, d, lora_cfg, stacked=l),
+        },
+    }
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    out = x32 * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int) -> dict:
+    """Static KV cache (reference ``config.cache_shape``)."""
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, cfg.dtype),
+        "v": jnp.zeros(shape, cfg.dtype),
+        "length": jnp.zeros((), jnp.int32),
+    }
+
+
+def _attention_block(x, lp, ll, cfg, lora_scaling, key_mask, positions,
+                     cos, sin, cache_kv=None, cache_index=None,
+                     attn_impl="auto"):
+    """One layer's attention. x: [B, S, D].
+
+    cache_kv: None (full-seq, no cache) or (k_cache, v_cache) [B, Smax, H, hd]
+    to read/write at cache_index (prefill writes [0..S), decode writes one).
+    Returns (out, new_cache_kv).
+    """
+    b, s, d = x.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    q = lora_dense(x, lp["wq"], tree_get(ll, "wq"), lora_scaling)
+    k = lora_dense(x, lp["wk"], tree_get(ll, "wk"), lora_scaling)
+    v = lora_dense(x, lp["wv"], tree_get(ll, "wv"), lora_scaling)
+    q = q.reshape(b, s, nh, hd)
+    k = k.reshape(b, s, nkv, hd)
+    v = v.reshape(b, s, nkv, hd)
+    q, k = apply_rope(q, k, cos, sin, positions)
+
+    new_cache = None
+    if cache_kv is None:
+        if nkv != nh:
+            rep = nh // nkv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        attn = multi_head_attention(q, k, v, key_mask=key_mask, causal=True,
+                                    impl=attn_impl)
+    else:
+        k_cache, v_cache = cache_kv
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
+        new_cache = (k_cache, v_cache)
+        kk, vv = k_cache, v_cache
+        if nkv != nh:
+            rep = nh // nkv
+            kk = jnp.repeat(kk, rep, axis=2)
+            vv = jnp.repeat(vv, rep, axis=2)
+        if s == 1:
+            # decode: plain XLA dot over the cache; key_mask covers validity
+            attn = mha_reference(q, kk, vv, key_mask=key_mask, causal=False)
+        else:
+            # prefill: cache beyond current length is invalid; mask covers it
+            attn = multi_head_attention(q, k, v, key_mask=key_mask[:, :s],
+                                        causal=True, impl=attn_impl)
+
+    attn = attn.reshape(b, s, nh * hd)
+    out = lora_dense(attn, lp["wo"], tree_get(ll, "wo"), lora_scaling)
+    return out, new_cache
+
+
+def _mlp_block(x, lp, ll, lora_scaling):
+    gate = lora_dense(x, lp["w_gate"], tree_get(ll, "w_gate"), lora_scaling)
+    up = lora_dense(x, lp["w_up"], tree_get(ll, "w_up"), lora_scaling)
+    h = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return lora_dense(h, lp["w_down"], tree_get(ll, "w_down"), lora_scaling)
+
+
+def forward(
+    params: dict,
+    cfg: LlamaConfig,
+    input_embeds: jax.Array,          # [B, S, D]
+    key_mask: jax.Array,              # [B, S] (or [B, Smax] when cached)
+    positions: jax.Array,             # [B, S] int32
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+    cache: Optional[dict] = None,
+    remat: bool = True,
+    attn_impl: str = "auto",
+    return_hidden: bool = False,
+) -> Tuple[jax.Array, Optional[dict]]:
+    """Decoder forward. Returns (logits [B,S,V] f32, new_cache|None)."""
+    x = input_embeds
+    b, s, d = x.shape
+    max_rope = int(cfg.max_position_embeddings)
+    cos, sin = rope_frequencies(cfg.head_dim, max_rope, cfg.rope_base,
+                                dtype=jnp.float32)
+
+    layers = params["layers"]
+    lora_layers = tree_get(lora, "layers")
+    cache_index = cache["length"] if cache is not None else None
+
+    def layer_core(x, lp, ll, ck):
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        attn_out, new_ck = _attention_block(
+            h, lp, ll, cfg, lora_scaling, key_mask, positions, cos, sin,
+            cache_kv=ck, cache_index=cache_index, attn_impl=attn_impl)
+        x = x + attn_out
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        x = x + _mlp_block(h, lp, ll, lora_scaling)
+        return x, new_ck
+
+    has_lora = lora_layers is not None
+    has_cache = cache is not None
+    if has_cache:
+        xs = ((layers, lora_layers, cache["k"], cache["v"]) if has_lora
+              else (layers, cache["k"], cache["v"]))
+
+        def body(x, scanned):
+            if has_lora:
+                lp, ll, k_c, v_c = scanned
+            else:
+                (lp, k_c, v_c), ll = scanned, None
+            return layer_core(x, lp, ll, (k_c, v_c))
+    else:
+        xs = (layers, lora_layers) if has_lora else layers
+
+        def body(x, scanned):
+            if has_lora:
+                lp, ll = scanned
+            else:
+                lp, ll = scanned, None
+            return layer_core(x, lp, ll, None)
+
+    body_fn = jax.checkpoint(body) if (remat and cache is None) else body
+    x, new_kv = jax.lax.scan(body_fn, x, xs)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        return x, None
+
+    logits = jnp.einsum("bsd,dv->bsv", x, params["lm_head"],
+                        preferred_element_type=jnp.float32)
+    head_lora = tree_get(lora, "lm_head")
+    if head_lora is not None:
+        xa = jnp.einsum("bsd,dr->bsr", x, head_lora["a"],
+                        preferred_element_type=jnp.float32)
+        logits = logits + jnp.einsum(
+            "bsr,rv->bsv", xa.astype(head_lora["b"].dtype), head_lora["b"],
+            preferred_element_type=jnp.float32) * lora_scaling
+
+    new_cache = None
+    if cache is not None:
+        new_cache = {
+            "k": new_kv[0], "v": new_kv[1],
+            "length": cache["length"] + s,
+        }
+    return logits, new_cache
+
+
+def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
+    """Token embedding lookup; ids < 0 (IMAGE_TOKEN_INDEX/pads) map to 0."""
+    safe = jnp.where(input_ids < 0, 0, input_ids)
+    return params["embed"][safe]

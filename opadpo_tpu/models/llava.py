@@ -1,0 +1,277 @@
+"""LLaVA-1.5 assembly: CLIP tower → mm_projector → LLaMA decoder with
+image-token splicing.
+
+The reference's ``LlavaLlamaForCausalLM`` splices 576 projected patch
+embeddings at the position of ``IMAGE_TOKEN_INDEX`` (-200) inside
+``prepare_inputs_for_generation`` / ``llava_arch.py`` (SURVEY §2.9).  Under
+jit, variable-position insertion must keep static shapes, so the splice is
+a per-row *gather*: for output position p with splice point q,
+
+    p < q          → text token p
+    q ≤ p < q+576  → image patch p-q
+    p ≥ q+576      → text token p-575
+
+computed with broadcasted iota + ``take_along_axis`` — no dynamic shapes,
+fully vectorized (SURVEY §7 "hard parts": image-token splicing under jit).
+
+The CoPO "attention" masking method (reference ``dpo_trainer.py:307-323``)
+feeds a per-patch validity mask; it is spliced into the sequence key mask
+the same way, and position ids are ``cumsum(mask)-1`` of the spliced mask,
+matching the patched HF model's behavior with masked patches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from opadpo_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from opadpo_tpu.models import clip as clip_model
+from opadpo_tpu.models import llama as llama_model
+from opadpo_tpu.models import projector as projector_model
+from opadpo_tpu.models.lora import LoraConfig, tree_get
+
+
+@dataclasses.dataclass(frozen=True)
+class LlavaConfig:
+    llama: llama_model.LlamaConfig
+    vision: clip_model.ClipVisionConfig
+    projector: projector_model.ProjectorConfig
+
+    @staticmethod
+    def llava_7b() -> "LlavaConfig":
+        lm = llama_model.LlamaConfig.llava_7b()
+        vis = clip_model.ClipVisionConfig()
+        return LlavaConfig(lm, vis, projector_model.ProjectorConfig(
+            in_dim=vis.hidden_size, out_dim=lm.hidden_size))
+
+    @staticmethod
+    def llava_13b() -> "LlavaConfig":
+        lm = llama_model.LlamaConfig.llava_13b()
+        vis = clip_model.ClipVisionConfig()
+        return LlavaConfig(lm, vis, projector_model.ProjectorConfig(
+            in_dim=vis.hidden_size, out_dim=lm.hidden_size))
+
+    @staticmethod
+    def tiny(vocab_size: int = 512) -> "LlavaConfig":
+        """Random-weights debug model (reference ``skip_loading_weights``)."""
+        lm = llama_model.LlamaConfig.tiny(vocab_size)
+        vis = clip_model.ClipVisionConfig.tiny()
+        return LlavaConfig(lm, vis, projector_model.ProjectorConfig(
+            in_dim=vis.hidden_size, out_dim=lm.hidden_size))
+
+    @property
+    def num_patches(self) -> int:
+        return self.vision.num_patches
+
+
+def init_params(key: jax.Array, cfg: LlavaConfig) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "llama": llama_model.init_params(k1, cfg.llama),
+        "vision": clip_model.init_params(k2, cfg.vision),
+        "projector": projector_model.init_params(k3, cfg.projector),
+    }
+
+
+def init_lora(key: jax.Array, cfg: LlavaConfig, lora_cfg: LoraConfig,
+              include_vision: bool = False) -> dict:
+    """Named adapter pytree.  ``include_vision`` mirrors the OPA recipe's
+    TUNE_VISION_TOWER=True (run/train_opa.sh:50); the DPO stage tunes the
+    language side only."""
+    k1, k2 = jax.random.split(key)
+    lora = {"llama": llama_model.init_lora(k1, cfg.llama, lora_cfg)}
+    if include_vision:
+        from opadpo_tpu.models.lora import init_lora_entry
+        la = cfg.vision.num_active_layers
+        d, i = cfg.vision.hidden_size, cfg.vision.intermediate_size
+        ks = jax.random.split(k2, 8)
+        lora["vision"] = {"layers": {
+            "wq": init_lora_entry(ks[0], d, d, lora_cfg, stacked=la),
+            "wk": init_lora_entry(ks[1], d, d, lora_cfg, stacked=la),
+            "wv": init_lora_entry(ks[2], d, d, lora_cfg, stacked=la),
+            "wo": init_lora_entry(ks[3], d, d, lora_cfg, stacked=la),
+            "fc1": init_lora_entry(ks[4], d, i, lora_cfg, stacked=la),
+            "fc2": init_lora_entry(ks[5], i, d, lora_cfg, stacked=la),
+        }}
+        lora["projector"] = {
+            "fc1": init_lora_entry(ks[6], cfg.projector.in_dim,
+                                   cfg.projector.out_dim, lora_cfg),
+            "fc2": init_lora_entry(ks[7], cfg.projector.out_dim,
+                                   cfg.projector.out_dim, lora_cfg),
+        }
+    return lora
+
+
+def encode_images(params: dict, cfg: LlavaConfig, images: jax.Array,
+                  lora: Optional[dict] = None, lora_scaling: float = 1.0,
+                  image_key_mask: Optional[jax.Array] = None,
+                  attn_impl: str = "auto") -> jax.Array:
+    """[B, H, W, 3] → projected patch features [B, 576, hidden]."""
+    feats = clip_model.forward(
+        params["vision"], cfg.vision, images,
+        lora=tree_get(lora, "vision"), lora_scaling=lora_scaling,
+        image_key_mask=image_key_mask, attn_impl=attn_impl)
+    return projector_model.forward(
+        params["projector"], feats,
+        lora=tree_get(lora, "projector"), lora_scaling=lora_scaling)
+
+
+def splice_positions(input_ids: jax.Array) -> jax.Array:
+    """Index of the image token per row, [B]."""
+    return jnp.argmax(input_ids == IMAGE_TOKEN_INDEX, axis=1)
+
+
+def _gather_indices(splice_pos: jax.Array, text_len: int, num_patches: int
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(is_image [B,S], text_idx [B,S], image_idx [B,S]) for the splice."""
+    s_out = text_len - 1 + num_patches
+    p = jax.lax.broadcasted_iota(jnp.int32, (splice_pos.shape[0], s_out), 1)
+    q = splice_pos[:, None]
+    is_image = jnp.logical_and(p >= q, p < q + num_patches)
+    text_idx = jnp.clip(jnp.where(p < q, p, p - (num_patches - 1)),
+                        0, text_len - 1)
+    image_idx = jnp.clip(p - q, 0, num_patches - 1)
+    return is_image, text_idx, image_idx
+
+
+def splice_sequence(
+    text_embeds: jax.Array,     # [B, L, D]
+    image_feats: jax.Array,     # [B, P, D]
+    text_mask: jax.Array,       # [B, L]
+    splice_pos: jax.Array,      # [B]
+    image_mask: Optional[jax.Array] = None,   # [B, P] (CoPO attention)
+    text_labels: Optional[jax.Array] = None,  # [B, L] (SFT)
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """Returns (embeds [B,S,D], key_mask [B,S], labels [B,S]|None)."""
+    b, l, d = text_embeds.shape
+    p = image_feats.shape[1]
+    is_image, text_idx, image_idx = _gather_indices(splice_pos, l, p)
+
+    gath_text = jnp.take_along_axis(text_embeds, text_idx[..., None], axis=1)
+    gath_img = jnp.take_along_axis(image_feats, image_idx[..., None], axis=1)
+    embeds = jnp.where(is_image[..., None], gath_img, gath_text)
+
+    tmask = jnp.take_along_axis(text_mask.astype(jnp.int32), text_idx, axis=1)
+    if image_mask is None:
+        imask = jnp.ones_like(tmask)
+    else:
+        imask = jnp.take_along_axis(image_mask.astype(jnp.int32), image_idx,
+                                    axis=1)
+    key_mask = jnp.where(is_image, imask, tmask)
+
+    labels = None
+    if text_labels is not None:
+        tlab = jnp.take_along_axis(text_labels, text_idx, axis=1)
+        labels = jnp.where(is_image, IGNORE_INDEX, tlab)
+    return embeds, key_mask, labels
+
+
+def forward(
+    params: dict,
+    cfg: LlavaConfig,
+    input_ids: jax.Array,       # [B, L] with one IMAGE_TOKEN_INDEX per row
+    text_mask: jax.Array,       # [B, L]
+    images: jax.Array,          # [B, H, W, 3]
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+    image_key_mask: Optional[jax.Array] = None,
+    labels: Optional[jax.Array] = None,
+    remat: bool = True,
+    attn_impl: str = "auto",
+) -> dict:
+    """Full-sequence forward (training / scoring).
+
+    Returns dict(logits [B,S,V] f32, key_mask [B,S], labels [B,S]|None)
+    over the spliced sequence of length L-1+num_patches.
+    """
+    image_feats = encode_images(params, cfg, images, lora, lora_scaling,
+                                attn_impl=attn_impl)
+    text_embeds = llama_model.embed_tokens(params["llama"], input_ids)
+    pos = splice_positions(input_ids)
+    embeds, key_mask, spliced_labels = splice_sequence(
+        text_embeds, image_feats.astype(text_embeds.dtype), text_mask, pos,
+        image_mask=image_key_mask, text_labels=labels)
+    positions = jnp.maximum(jnp.cumsum(key_mask, axis=1) - 1, 0).astype(jnp.int32)
+    logits, _ = llama_model.forward(
+        params["llama"], cfg.llama, embeds, key_mask, positions,
+        lora=tree_get(lora, "llama"), lora_scaling=lora_scaling,
+        remat=remat, attn_impl=attn_impl)
+    return {"logits": logits, "key_mask": key_mask, "labels": spliced_labels}
+
+
+def prefill(
+    params: dict,
+    cfg: LlavaConfig,
+    input_ids: jax.Array,       # [B, L] prompt (queries only)
+    text_mask: jax.Array,
+    images: jax.Array,
+    cache_len: int,
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+    attn_impl: str = "auto",
+) -> dict:
+    """Prompt pass for sampling. Returns dict(cache, last_logits [B,V],
+    key_mask [B, cache_len], positions_next [B])."""
+    b, l = input_ids.shape
+    image_feats = encode_images(params, cfg, images, lora, lora_scaling,
+                                attn_impl=attn_impl)
+    text_embeds = llama_model.embed_tokens(params["llama"], input_ids)
+    pos = splice_positions(input_ids)
+    embeds, key_mask, _ = splice_sequence(
+        text_embeds, image_feats.astype(text_embeds.dtype), text_mask, pos)
+    s_prompt = embeds.shape[1]
+    positions = jnp.maximum(jnp.cumsum(key_mask, axis=1) - 1, 0).astype(jnp.int32)
+
+    cache = llama_model.init_kv_cache(cfg.llama, b, cache_len)
+    full_mask = jnp.zeros((b, cache_len), jnp.int32)
+    full_mask = full_mask.at[:, :s_prompt].set(key_mask)
+
+    logits, cache = llama_model.forward(
+        params["llama"], cfg.llama, embeds, full_mask[:, :s_prompt], positions,
+        lora=tree_get(lora, "llama"), lora_scaling=lora_scaling,
+        cache=cache, remat=False, attn_impl=attn_impl)
+    return {
+        "cache": cache,
+        "last_logits": logits[:, -1, :],
+        "key_mask": full_mask,
+        "next_position": positions[:, -1] + 1,
+    }
+
+
+def decode_step(
+    params: dict,
+    cfg: LlavaConfig,
+    token_ids: jax.Array,       # [B] or [B,1]
+    cache: dict,
+    key_mask: jax.Array,        # [B, cache_len] validity incl. new slot
+    positions: jax.Array,       # [B] RoPE position for this token
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+) -> Tuple[jax.Array, dict]:
+    """One sampled-token forward over the static cache → (logits [B,V], cache)."""
+    if token_ids.ndim == 1:
+        token_ids = token_ids[:, None]
+    embeds = llama_model.embed_tokens(params["llama"], token_ids)
+    logits, cache = llama_model.forward(
+        params["llama"], cfg.llama, embeds, key_mask, positions[:, None],
+        lora=tree_get(lora, "llama"), lora_scaling=lora_scaling,
+        cache=cache, remat=False)
+    return logits[:, 0, :], cache
+
+
+class LlavaModel:
+    """Thin OO wrapper bundling config + functional API (keeps call sites
+    close to the reference's model object without hiding the pytrees)."""
+
+    def __init__(self, cfg: LlavaConfig):
+        self.cfg = cfg
+
+    init_params = staticmethod(init_params)
+    init_lora = staticmethod(init_lora)
+
+    def __call__(self, params, input_ids, text_mask, images, **kw):
+        return forward(params, self.cfg, input_ids, text_mask, images, **kw)
