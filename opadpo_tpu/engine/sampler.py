@@ -1,0 +1,104 @@
+"""Autoregressive sampler: prefill + ``lax.while_loop`` decode over a
+static KV cache.
+
+Replaces HF ``generate`` (reference ``rl_models.py:146-191`` and the eval
+scripts' greedy decode, ``model_vqa.py:213-227``).  Design notes:
+
+- One SPMD program: the reference needed ``synced_gpus=True`` to keep DDP
+  ranks lock-stepped during generation; under pjit the whole batch is one
+  program, so that machinery disappears (SURVEY §2.8).
+- Cache size is statically ``prompt_len + response_len + num_patches``
+  exactly like the reference's ``config.cache_shape`` (rl_models.py:157-162).
+- The loop exits early once every row has emitted EOS (while_loop, not a
+  fixed-trip scan) — rollout batches with short answers don't pay for 896
+  steps.
+- Post-EOS padding + the "?" extra-truncation tokens are host-side numpy
+  (``truncate_after_eos_with_padding``, rl_trainer.py:370-399 semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opadpo_tpu.models import llava as llava_model
+from opadpo_tpu.models.llava import LlavaConfig
+from opadpo_tpu.engine.sampling import SamplingConfig, sample_tokens
+
+
+def generate(
+    params: dict,
+    cfg: LlavaConfig,
+    input_ids: jax.Array,       # [B, L] left-padded prompts w/ image token
+    text_mask: jax.Array,       # [B, L]
+    images: jax.Array,          # [B, H, W, 3]
+    rng: jax.Array,
+    sampling: SamplingConfig,
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+) -> jax.Array:
+    """Returns sampled token ids [B, max_new_tokens] (pad after EOS)."""
+    b, l = input_ids.shape
+    s_prompt = l - 1 + cfg.num_patches
+    cache_len = s_prompt + sampling.max_new_tokens
+    eos = sampling.eos_token_id
+    pad = sampling.pad_token_id
+
+    pf = llava_model.prefill(params, cfg, input_ids, text_mask, images,
+                             cache_len, lora=lora, lora_scaling=lora_scaling)
+
+    def cond(state):
+        step, _, _, _, _, _, done, _ = state
+        return jnp.logical_and(step < sampling.max_new_tokens,
+                               jnp.logical_not(jnp.all(done)))
+
+    def body(state):
+        step, rng, cache, key_mask, positions, last_logits, done, out = state
+        rng, sub = jax.random.split(rng)
+        tok = sample_tokens(sub, last_logits, sampling)
+        tok = jnp.where(done, pad, tok)
+        out = out.at[:, step].set(tok)
+        done = jnp.logical_or(done, tok == eos)
+
+        # mark the new token's cache slot valid, run one decode step
+        key_mask = jax.lax.dynamic_update_slice(
+            key_mask, jnp.ones((b, 1), key_mask.dtype), (0, s_prompt + step))
+        logits, cache = llava_model.decode_step(
+            params, cfg, tok, cache, key_mask, positions,
+            lora=lora, lora_scaling=lora_scaling)
+        return (step + 1, rng, cache, key_mask, positions + 1, logits,
+                done, out)
+
+    out0 = jnp.full((b, sampling.max_new_tokens), pad, jnp.int32)
+    state = (jnp.zeros((), jnp.int32), rng, pf["cache"], pf["key_mask"],
+             pf["next_position"], pf["last_logits"],
+             jnp.zeros((b,), bool), out0)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[-1]
+
+
+def truncate_after_tokens(
+    responses: np.ndarray,      # [B, R] sampled ids
+    eos_token_id: int,
+    pad_token_id: int,
+    additional_tokens: Optional[Tuple[int, ...]] = None,
+) -> np.ndarray:
+    """Host-side cleanup: keep through the first EOS (or any additional
+    stop token), pad the rest (reference truncate_after_eos_with_padding;
+    the rollout adds the two "?" token ids, online_generator.py:312-323)."""
+    out = responses.copy()
+    stops = {eos_token_id}
+    if additional_tokens:
+        stops.update(additional_tokens)
+    for i in range(out.shape[0]):
+        row = out[i]
+        idxs = np.nonzero(np.isin(row, list(stops)))[0]
+        if idxs.size:
+            end = idxs[0]
+            out[i, end + 1:] = pad_token_id
+    return out

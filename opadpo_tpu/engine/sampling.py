@@ -1,0 +1,58 @@
+"""Token-sampling primitives (temperature / top-k / top-p / greedy).
+
+Replaces the HF ``generate`` logits processors the reference drives with
+``top_k=30, top_p=0.95, temperature=1.0`` for rollout
+(``run/online_generate.sh:75-77,115-116``) and plain temperature sampling
+(``top_p=1.0, top_k=0``) inside DPO ``_respond`` (``rl_models.py:178-180``).
+All ops are static-shape and sort-based → MXU/VPU friendly under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    temperature: float = 1.0
+    top_k: int = 0              # 0 = disabled
+    top_p: float = 1.0          # 1.0 = disabled
+    greedy: bool = False
+    suppress_eos: bool = False  # reference suppress_tokens=[eos]
+    eos_token_id: int = 2
+    pad_token_id: int = 0
+    max_new_tokens: int = 896
+
+
+def sample_tokens(rng: jax.Array, logits: jax.Array,
+                  cfg: SamplingConfig) -> jax.Array:
+    """logits [B, V] → token ids [B]."""
+    logits = logits.astype(jnp.float32)
+    if cfg.suppress_eos:
+        logits = logits.at[:, cfg.eos_token_id].set(_NEG_INF)
+    if cfg.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    logits = logits / jnp.maximum(cfg.temperature, 1e-6)
+
+    if cfg.top_k and cfg.top_k > 0:
+        kth = jax.lax.top_k(logits, cfg.top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, _NEG_INF, logits)
+
+    if cfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # HF TopPLogitsWarper semantics: keep the minimal prefix whose
+        # cumulative mass reaches top_p (the crossing token included).
+        keep = (cum - probs) < cfg.top_p                 # [B, V] sorted space
+        threshold = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+        logits = jnp.where(logits >= threshold, logits, _NEG_INF)
+
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)

@@ -1,0 +1,89 @@
+"""Sampler vs. naive full-forward greedy decoding on the tiny model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
+from opadpo_tpu.engine.sampler import generate, truncate_after_tokens
+from opadpo_tpu.engine.sampling import SamplingConfig, sample_tokens
+from opadpo_tpu.models import llava as llava_model
+from opadpo_tpu.models.llava import LlavaConfig
+
+CFG = LlavaConfig.tiny()
+PARAMS = llava_model.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def _inputs(b=2, l=10):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    ids = jax.random.randint(k1, (b, l), 5, CFG.llama.vocab_size)
+    ids = ids.at[:, 2].set(IMAGE_TOKEN_INDEX)
+    mask = jnp.ones((b, l), jnp.int32).at[1, 0].set(0)
+    sz = CFG.vision.image_size
+    images = jax.random.normal(k2, (b, sz, sz, 3))
+    return ids, mask, images
+
+
+def test_greedy_generate_matches_full_forward():
+    ids, mask, images = _inputs()
+    n_new = 5
+    sampling = SamplingConfig(greedy=True, max_new_tokens=n_new,
+                              eos_token_id=-1)  # never stop
+    out = generate(PARAMS, CFG, ids, mask, images, jax.random.PRNGKey(0),
+                   sampling)
+    assert out.shape == (2, n_new)
+
+    # naive loop: rerun the full forward each step, take argmax
+    cur_ids, cur_mask = ids, mask
+    naive = []
+    for _ in range(n_new):
+        o = llava_model.forward(PARAMS, CFG, cur_ids, cur_mask, images,
+                                remat=False)
+        nxt = jnp.argmax(o["logits"][:, -1, :], axis=-1).astype(jnp.int32)
+        naive.append(nxt)
+        cur_ids = jnp.concatenate([cur_ids, nxt[:, None]], axis=1)
+        cur_mask = jnp.concatenate(
+            [cur_mask, jnp.ones((2, 1), jnp.int32)], axis=1)
+    naive = jnp.stack(naive, axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(naive))
+
+
+def test_eos_stops_and_pads():
+    ids, mask, images = _inputs()
+    # run greedy, find what token comes first, then declare it EOS
+    probe = generate(PARAMS, CFG, ids, mask, images, jax.random.PRNGKey(0),
+                     SamplingConfig(greedy=True, max_new_tokens=4,
+                                    eos_token_id=-1))
+    eos = int(probe[0, 0])
+    sampling = SamplingConfig(greedy=True, max_new_tokens=6,
+                              eos_token_id=eos, pad_token_id=0)
+    out = np.asarray(generate(PARAMS, CFG, ids, mask, images,
+                              jax.random.PRNGKey(0), sampling))
+    row = out[0]
+    assert row[0] == eos
+    assert (row[1:] == 0).all()
+
+
+def test_sample_tokens_top_k_top_p():
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.log(jnp.array([[0.5, 0.3, 0.15, 0.05]]))
+    # top_k=1 → always argmax
+    cfg = SamplingConfig(top_k=1)
+    for i in range(5):
+        tok = sample_tokens(jax.random.fold_in(rng, i), logits, cfg)
+        assert int(tok[0]) == 0
+    # top_p=0.6 → only tokens {0, 1} survive (0.5 then crossing token 0.3)
+    cfg = SamplingConfig(top_p=0.6)
+    seen = {int(sample_tokens(jax.random.fold_in(rng, i), logits, cfg)[0])
+            for i in range(50)}
+    assert seen <= {0, 1}
+    assert 1 in seen  # crossing token is kept
+
+
+def test_truncate_after_tokens():
+    resp = np.array([[5, 7, 2, 9, 9], [5, 1577, 7, 2, 9], [4, 4, 4, 4, 4]])
+    out = truncate_after_tokens(resp, eos_token_id=2, pad_token_id=0,
+                                additional_tokens=(1577,))
+    np.testing.assert_array_equal(out[0], [5, 7, 2, 0, 0])
+    np.testing.assert_array_equal(out[1], [5, 1577, 0, 0, 0])
+    np.testing.assert_array_equal(out[2], [4, 4, 4, 4, 4])
