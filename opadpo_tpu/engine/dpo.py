@@ -1,0 +1,410 @@
+"""OPA-DPO engine: token-weighted multi-pair DPO + CoPO + AncPO.
+
+TPU re-design of the reference's DPO core (``opadpo/dpo_models/
+dpo_trainer.py`` + ``rl_models.py``), preserving its numerics exactly
+(SURVEY §2.2 "key numerics"):
+
+- per-token logprobs over the last ``response_len`` positions of
+  temperature-scaled logits, zeroed at pad positions;
+- ``dpo_loss``: sigmoid DPO on per-token logratios with optional per-token
+  chosen/rejected score weights (``dpo_trainer.py:429-473``);
+- 4 preference pairs: GT≻gen, AI≻gen (score-weighted), unmasked≻masked ×2
+  (CoPO, ``:583-680``), plus the AncPO/mDPO anchor (``:702-712``);
+- total = l1*std_coef + l2*AI_coef + (l3*std_coef + l4*AI_coef)*CoPO_coef
+  + AncPO*Anchor_coef.
+
+TPU-first differences from the reference implementation:
+
+- The reference concatenates the 3 response types on the batch axis and
+  runs the *whole model* on 3B rows (``rl_models.py:95-111``) — including
+  the CLIP tower 3 times per image.  Here images are encoded ONCE and the
+  projected features are tiled, cutting vision FLOPs by 3x (and by 2x again
+  in the CoPO forward).
+- "Rollout" (reference-policy scoring, ``dpo_trainer.py:214-427``) is a
+  second jitted function over the same forward with the frozen OPA adapter
+  pytree — no PEFT adapter switching, no inference_mode bookkeeping.
+- CoPO masks are generated on device (``ops/image_ops.py``) and returned
+  with the rollout so the policy step reuses identical masks, like the
+  reference caching ``masked_images`` in the rollout dict.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from opadpo_tpu.engine.train_state import TrainState
+from opadpo_tpu.models import llama as llama_model
+from opadpo_tpu.models import llava as llava_model
+from opadpo_tpu.models.llava import LlavaConfig
+from opadpo_tpu.models.lora import tree_get
+from opadpo_tpu.ops import image_ops
+from opadpo_tpu.ops.logprobs import per_token_logprobs, per_token_entropy
+
+
+@dataclasses.dataclass(frozen=True)
+class DpoConfig:
+    """Production recipe defaults from run/train_opa_dpo.sh:35-76."""
+
+    beta: float = 0.1
+    label_smoothing: float = 0.0
+    temperature: float = 1.0
+    reference_free: bool = False
+    f_divergence_type: str = "reverse_kl"     # "reverse_kl" | "js_divergence"
+    standard_pair_coef: float = 1.0
+    AI_pair_coef: float = 1.0
+    CoPO: bool = True
+    CoPO_method: str = "random"               # random | blockwise | attention
+    CoPO_mask_ratio: float = 0.3
+    CoPO_coef: float = 0.2
+    AncPO: bool = True
+    mDPO_anchor: bool = True
+    Anchor_value: float = 0.0
+    Anchor_coef: float = 1.0
+    detailed_report: bool = True
+    response_score: bool = True
+    response_image_relation: bool = True
+    response_len: int = 896
+    query_len: int = 128
+    pad_token_id: int = 0
+    lora_scaling: float = 2.0                 # alpha 512 / r 256
+
+
+# ---------------------------------------------------------------------------
+# Multi-response scoring forward
+# ---------------------------------------------------------------------------
+
+def score_responses(
+    params: dict,
+    cfg: LlavaConfig,
+    dpo: DpoConfig,
+    queries: jax.Array,             # [B, Lq] left-padded, one image token
+    query_mask: jax.Array,          # [B, Lq]
+    images: jax.Array,              # [B, H, W, 3]
+    responses: Tuple[jax.Array, ...],       # K × [B, R]
+    response_masks: Tuple[jax.Array, ...],  # K × [B, R]
+    lora: Optional[dict] = None,
+    image_key_mask: Optional[jax.Array] = None,   # [B, P] CoPO attention
+    remat: bool = True,
+    with_entropy: bool = False,
+) -> Dict[str, Any]:
+    """One decoder forward over K response types stacked on the batch axis,
+    vision encoded once.  Returns dict with 'logprobs' (K × [B, R]) and
+    optionally 'entropies'."""
+    b, lq = queries.shape
+    k = len(responses)
+    r = responses[0].shape[1]
+    scaling = dpo.lora_scaling
+
+    image_feats = llava_model.encode_images(params, cfg, images, lora, scaling)
+    image_feats = jnp.concatenate([image_feats] * k, axis=0)
+
+    ids = jnp.concatenate(
+        [jnp.concatenate([queries, resp], axis=1) for resp in responses],
+        axis=0)                                     # [K*B, Lq+R]
+    text_mask = jnp.concatenate(
+        [jnp.concatenate([query_mask, m], axis=1) for m in response_masks],
+        axis=0)
+
+    text_embeds = llama_model.embed_tokens(params["llama"], ids)
+    pos = llava_model.splice_positions(ids)
+    img_mask = None
+    if image_key_mask is not None:
+        img_mask = jnp.concatenate([image_key_mask] * k, axis=0)
+    embeds, key_mask, _ = llava_model.splice_sequence(
+        text_embeds, image_feats.astype(text_embeds.dtype), text_mask, pos,
+        image_mask=img_mask)
+    positions = jnp.maximum(jnp.cumsum(key_mask, axis=1) - 1, 0).astype(jnp.int32)
+
+    logits, _ = llama_model.forward(
+        params["llama"], cfg.llama, embeds, key_mask, positions,
+        lora=tree_get(lora, "llama"), lora_scaling=scaling, remat=remat)
+
+    logits = logits[:, -r - 1:-1, :] / dpo.temperature
+    labels = ids[:, -r:]
+    resp_mask = jnp.concatenate(response_masks, axis=0).astype(jnp.float32)
+    logprobs = per_token_logprobs(logits, labels, dpo.pad_token_id) * resp_mask
+
+    out = {"logprobs": tuple(logprobs[i * b:(i + 1) * b] for i in range(k))}
+    if with_entropy:
+        ent = per_token_entropy(logits) * resp_mask
+        out["entropies"] = tuple(ent[i * b:(i + 1) * b] for i in range(k))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DPO loss (reference dpo_trainer.py:429-473)
+# ---------------------------------------------------------------------------
+
+def dpo_loss(
+    policy_chosen_logps: jax.Array,
+    policy_rejected_logps: jax.Array,
+    reference_chosen_logps: jax.Array,
+    reference_rejected_logps: jax.Array,
+    dpo: DpoConfig,
+    chosen_scores: Optional[jax.Array] = None,
+    rejected_scores: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-token sigmoid DPO. Returns (losses, chosen_rewards, rejected_rewards)."""
+    if chosen_scores is None:
+        chosen_scores = jnp.ones_like(policy_chosen_logps)
+    if rejected_scores is None:
+        rejected_scores = jnp.ones_like(policy_rejected_logps)
+
+    ref_coef = 0.0 if dpo.reference_free else 1.0
+    chosen_logratios = policy_chosen_logps - ref_coef * reference_chosen_logps
+    rejected_logratios = (policy_rejected_logps
+                          - ref_coef * reference_rejected_logps)
+
+    logits = (chosen_scores * chosen_logratios
+              - rejected_scores * rejected_logratios)
+    if dpo.f_divergence_type == "js_divergence":
+        logits = logits - (jax.nn.softplus(chosen_logratios)
+                           - jax.nn.softplus(rejected_logratios))
+
+    ls = dpo.label_smoothing
+    losses = (-jax.nn.log_sigmoid(dpo.beta * logits) * (1 - ls)
+              - jax.nn.log_sigmoid(-dpo.beta * logits) * ls)
+    return losses, dpo.beta * chosen_logratios, dpo.beta * rejected_logratios
+
+
+# ---------------------------------------------------------------------------
+# Rollout: frozen-reference scoring (+ CoPO mask generation)
+# ---------------------------------------------------------------------------
+
+def rollout_score(
+    params: dict,
+    cfg: LlavaConfig,
+    dpo: DpoConfig,
+    ref_lora: Optional[dict],
+    batch: Dict[str, jax.Array],
+    rng: jax.Array,
+) -> Dict[str, jax.Array]:
+    """Reference-policy pass over a rollout batch (reference rollout(),
+    dpo_trainer.py:214-427, minus the never-used policy forward — SURVEY
+    'known bugs').  Returns the cached tensors the policy step needs."""
+    queries = batch["queries"]
+    q_mask = batch["queries_attention_mask"]
+    images = batch["images"]
+    resp = (batch["standard_response"], batch["original_generate_response"],
+            batch["AI_pseudo_response"])
+    rmask = (batch["standard_response_attention_mask"],
+             batch["original_generate_response_attention_mask"],
+             batch["AI_pseudo_response_attention_mask"])
+
+    out = score_responses(params, cfg, dpo, queries, q_mask, images,
+                          resp, rmask, lora=ref_lora, remat=False,
+                          with_entropy=True)
+    result = {
+        "ref_base_standard_response_logprobs": out["logprobs"][0],
+        "ref_base_original_generate_response_logprobs": out["logprobs"][1],
+        "ref_base_AI_pseudo_response_logprobs": out["logprobs"][2],
+        "ref_base_standard_response_entropies": out["entropies"][0],
+        "ref_base_original_generate_response_entropies": out["entropies"][1],
+        "ref_base_AI_pseudo_response_entropies": out["entropies"][2],
+    }
+
+    if dpo.CoPO:
+        b = queries.shape[0]
+        if dpo.CoPO_method == "random":
+            masked_images = image_ops.mask_images_random(
+                rng, images, dpo.CoPO_mask_ratio)
+            img_key_mask = None
+        elif dpo.CoPO_method == "blockwise":
+            masked_images = image_ops.mask_images_blockwise(
+                rng, images, dpo.CoPO_mask_ratio)
+            img_key_mask = None
+        elif dpo.CoPO_method == "attention":
+            masked_images = images
+            img_key_mask = image_ops.mask_patches_per_row(
+                rng, b, cfg.num_patches, dpo.CoPO_mask_ratio)
+        else:
+            raise NotImplementedError(dpo.CoPO_method)
+
+        mask_out = score_responses(
+            params, cfg, dpo, queries, q_mask, masked_images,
+            (resp[0], resp[2]), (rmask[0], rmask[2]),
+            lora=ref_lora, image_key_mask=img_key_mask, remat=False)
+        result.update({
+            "ref_mask_standard_response_logprobs": mask_out["logprobs"][0],
+            "ref_mask_AI_pseudo_response_logprobs": mask_out["logprobs"][1],
+        })
+        if dpo.CoPO_method == "attention":
+            result["masked_image_key_mask"] = img_key_mask
+        else:
+            result["masked_images"] = masked_images
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Policy train step
+# ---------------------------------------------------------------------------
+
+def _masked_mean(x, mask):
+    m = mask.astype(jnp.float32)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1e-9)
+
+
+def _masked_min_rowwise(x, mask):
+    big = 1e9
+    return jnp.mean(jnp.min(x * mask + (1 - mask) * big, axis=1))
+
+
+def _masked_max_rowwise(x, mask):
+    big = -1e9
+    return jnp.mean(jnp.max(x * mask + (1 - mask) * big, axis=1))
+
+
+def dpo_loss_and_stats(
+    lora: dict,
+    base_params: dict,
+    cfg: LlavaConfig,
+    dpo: DpoConfig,
+    batch: Dict[str, jax.Array],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Loss over one minibatch of cached rollouts (reference
+    compute_policy_loss, dpo_trainer.py:475-802)."""
+    queries = batch["queries"]
+    q_mask = batch["queries_attention_mask"]
+    images = batch["images"]
+    resp = (batch["standard_response"], batch["original_generate_response"],
+            batch["AI_pseudo_response"])
+    rmask = (batch["standard_response_attention_mask"],
+             batch["original_generate_response_attention_mask"],
+             batch["AI_pseudo_response_attention_mask"])
+    ref_std = batch["ref_base_standard_response_logprobs"]
+    ref_orig = batch["ref_base_original_generate_response_logprobs"]
+    ref_ai = batch["ref_base_AI_pseudo_response_logprobs"]
+
+    use_scores = dpo.detailed_report and dpo.response_score
+    use_relations = dpo.detailed_report and dpo.response_image_relation
+    ai_scores = batch.get("AI_pseudo_response_scores")
+    orig_scores = batch.get("original_generate_response_scores")
+    ai_relations = batch.get("AI_pseudo_response_image_relations")
+
+    out = score_responses(base_params, cfg, dpo, queries, q_mask, images,
+                          resp, rmask, lora=lora)
+    std_lp, orig_lp, ai_lp = out["logprobs"]
+
+    # Pair 1: standard (GT) ≻ original generate
+    losses1, cr1, rr1 = dpo_loss(std_lp, orig_lp, ref_std, ref_orig, dpo)
+    # Pair 2: AI pseudo ≻ original generate, score-weighted
+    losses2, cr2, rr2 = dpo_loss(
+        ai_lp, orig_lp, ref_ai, ref_orig, dpo,
+        chosen_scores=ai_scores if use_scores else None,
+        rejected_scores=orig_scores if use_scores else None)
+
+    loss = (jnp.mean(losses1) * dpo.standard_pair_coef
+            + jnp.mean(losses2) * dpo.AI_pair_coef)
+
+    if dpo.CoPO:
+        ref_mask_std = batch["ref_mask_standard_response_logprobs"]
+        ref_mask_ai = batch["ref_mask_AI_pseudo_response_logprobs"]
+        if dpo.CoPO_method == "attention":
+            mask_images = images
+            img_key_mask = batch["masked_image_key_mask"]
+        else:
+            mask_images = batch["masked_images"]
+            img_key_mask = None
+        out_new = score_responses(
+            base_params, cfg, dpo, queries, q_mask, mask_images,
+            (resp[0], resp[2]), (rmask[0], rmask[2]),
+            lora=lora, image_key_mask=img_key_mask)
+        mask_std_lp, mask_ai_lp = out_new["logprobs"]
+
+        # Pair 3: standard unmasked ≻ standard masked
+        losses3, cr3, rr3 = dpo_loss(std_lp, mask_std_lp, ref_std,
+                                     ref_mask_std, dpo)
+        # Pair 4: AI unmasked ≻ AI masked, image-relation weighted both sides
+        losses4, cr4, rr4 = dpo_loss(
+            ai_lp, mask_ai_lp, ref_ai, ref_mask_ai, dpo,
+            chosen_scores=ai_relations if use_relations else None,
+            rejected_scores=ai_relations if use_relations else None)
+        loss = loss + (jnp.mean(losses3) * dpo.standard_pair_coef
+                       + jnp.mean(losses4) * dpo.AI_pair_coef) * dpo.CoPO_coef
+    else:
+        zeros = jnp.zeros_like(loss)
+        losses3 = losses4 = cr3 = rr3 = cr4 = rr4 = zeros
+        mask_std_lp = mask_ai_lp = jnp.zeros_like(std_lp)
+
+    if dpo.AncPO:
+        a = dpo.Anchor_value
+        if dpo.mDPO_anchor:
+            anc = (-jax.nn.log_sigmoid(cr1 - a)
+                   - jax.nn.log_sigmoid(-cr2 + a)
+                   - jax.nn.log_sigmoid(cr3 - a)
+                   - jax.nn.log_sigmoid(-cr4 + a))
+        else:
+            anc = ((cr1 - a) ** 2 + (cr2 - a) ** 2
+                   + (cr3 - a) ** 2 + (cr4 - a) ** 2)
+        anc_loss = jnp.mean(anc)
+        loss = loss + anc_loss * dpo.Anchor_coef
+    else:
+        anc_loss = jnp.zeros_like(loss)
+
+    # --- stats (reference dpo_trainer.py:714-799) ---
+    pad = dpo.pad_token_id
+    m1c = (ref_std != pad).astype(jnp.float32)
+    m1r = (ref_orig != pad).astype(jnp.float32)
+    m2c = (ref_ai != pad).astype(jnp.float32)
+    std_m = (std_lp != 0.0).astype(jnp.float32)
+    orig_m = (orig_lp != 0.0).astype(jnp.float32)
+    ai_m = (ai_lp != 0.0).astype(jnp.float32)
+
+    def gap(cr, cm, rr, rm):
+        return _masked_mean(cr, cm) - _masked_mean(rr, rm)
+
+    stats = {
+        "loss/stand_gen": jnp.mean(losses1),
+        "loss/AI_gen": jnp.mean(losses2),
+        "loss/stand_mask": jnp.mean(losses3),
+        "loss/AI_mask": jnp.mean(losses4),
+        "loss/AncPO": anc_loss,
+        "policy/stand_gen_chosen_mean": _masked_mean(cr1, m1c),
+        "policy/stand_gen_reject_mean": _masked_mean(rr1, m1r),
+        "policy/stand_gen_gap_mean": gap(cr1, m1c, rr1, m1r),
+        "policy/AI_gen_chosen_mean": _masked_mean(cr2, m2c),
+        "policy/AI_gen_reject_mean": _masked_mean(rr2, m1r),
+        "policy/AI_gen_gap_mean": gap(cr2, m2c, rr2, m1r),
+        "policy/stand_mask_chosen_mean": _masked_mean(cr3, m1c),
+        "policy/stand_mask_reject_mean": _masked_mean(rr3, m1c),
+        "policy/AI_mask_chosen_mean": _masked_mean(cr4, m2c),
+        "policy/AI_mask_reject_mean": _masked_mean(rr4, m2c),
+        "logprobs/standard_logprobs": _masked_mean(std_lp, std_m),
+        "logprobs/original_logprobs": _masked_mean(orig_lp, orig_m),
+        "logprobs/AI_logprobs": _masked_mean(ai_lp, ai_m),
+        "logprobs/standard_mask_logprobs": _masked_mean(mask_std_lp, std_m),
+        "logprobs/AI_mask_logprobs": _masked_mean(mask_ai_lp, ai_m),
+        "logprobs/standard_logprobs_min": _masked_min_rowwise(std_lp, std_m),
+        "logprobs/original_logprobs_min": _masked_min_rowwise(orig_lp, orig_m),
+        "logprobs/AI_logprobs_min": _masked_min_rowwise(ai_lp, ai_m),
+        "logprobs/standard_logprobs_max": _masked_max_rowwise(std_lp, std_m),
+        "logprobs/original_logprobs_max": _masked_max_rowwise(orig_lp, orig_m),
+        "logprobs/AI_logprobs_max": _masked_max_rowwise(ai_lp, ai_m),
+    }
+    return loss, stats
+
+
+def dpo_train_step(
+    state: TrainState,
+    base_params: dict,
+    batch: Dict[str, jax.Array],
+    tx,
+    cfg: LlavaConfig,
+    dpo: DpoConfig,
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One gradient step over the LoRA adapter (jit this with
+    static tx/cfg/dpo and donated ``state``)."""
+    (loss, stats), grads = jax.value_and_grad(
+        dpo_loss_and_stats, has_aux=True)(state.params, base_params, cfg,
+                                          dpo, batch)
+    from opadpo_tpu.engine.train_state import global_norm
+    stats = dict(stats)
+    stats["loss/total"] = loss
+    stats["loss/grad_norm"] = global_norm(grads)
+    new_state = state.apply_gradients(tx, grads)
+    return new_state, stats

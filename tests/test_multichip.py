@@ -1,0 +1,114 @@
+"""Multi-device SPMD tests on the 8-way virtual CPU mesh.
+
+This is the reference's missing multi-node test story (SURVEY §4): the DPO
+train step is jitted over a real ``Mesh`` with batch sharding + ZeRO-1
+optimizer-state sharding, and over a 4x2 data×model mesh with tensor
+parallelism — all validated without hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
+from opadpo_tpu.engine.dpo import DpoConfig, dpo_train_step, rollout_score
+from opadpo_tpu.engine.train_state import OptimizerConfig, TrainState, make_optimizer
+from opadpo_tpu.models import llava as llava_model
+from opadpo_tpu.models.llava import LlavaConfig
+from opadpo_tpu.models.lora import LoraConfig
+from opadpo_tpu.parallel import (
+    MeshConfig, make_mesh, param_partition_specs, shard_pytree,
+    zero1_opt_state_specs,
+)
+from opadpo_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+CFG = LlavaConfig.tiny()
+LORA_CFG = LoraConfig(rank=4, alpha=8.0)
+DPO = DpoConfig(response_len=8, query_len=6, lora_scaling=LORA_CFG.scaling,
+                CoPO=True, CoPO_method="random")
+
+
+def _batch(b):
+    from tests.test_dpo_engine import _make_batch
+    return _make_batch(b=b)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dpo_step_data_parallel_8way():
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    params = llava_model.init_params(jax.random.PRNGKey(0), CFG)
+    lora = llava_model.init_lora(jax.random.PRNGKey(1), CFG, LORA_CFG)
+    ref_lora = llava_model.init_lora(jax.random.PRNGKey(2), CFG, LORA_CFG)
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-3, warmup_steps=0,
+                                        total_steps=10))
+    state = TrainState.create(lora, tx)
+
+    batch = _batch(b=8)
+    rollouts = rollout_score(params, CFG, DPO, ref_lora, batch,
+                             jax.random.PRNGKey(3))
+    full_batch = {**batch, **rollouts}
+
+    # shard: batch over data axis, params/state replicated
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    params_s = jax.device_put(params, rep)
+    state_s = jax.device_put(state, rep)
+    batch_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, bsh), full_batch)
+
+    step = jax.jit(
+        lambda s, p, b: dpo_train_step(s, p, b, tx, CFG, DPO),
+        donate_argnums=(0,))
+    new_state, stats = step(state_s, params_s, batch_s)
+    assert np.isfinite(float(stats["loss/total"]))
+
+    # single-device oracle: same batch, unsharded
+    state2 = TrainState.create(
+        llava_model.init_lora(jax.random.PRNGKey(1), CFG, LORA_CFG), tx)
+    _, stats2 = dpo_train_step(state2, params, full_batch, tx, CFG, DPO)
+    np.testing.assert_allclose(float(stats["loss/total"]),
+                               float(stats2["loss/total"]), rtol=1e-4)
+
+
+def test_zero1_opt_state_sharding():
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    lora = llava_model.init_lora(jax.random.PRNGKey(1), CFG, LORA_CFG)
+    tx = make_optimizer(OptimizerConfig())
+    state = TrainState.create(lora, tx)
+    specs = zero1_opt_state_specs(state.opt_state, mesh)
+    sharded = shard_pytree(state.opt_state, specs, mesh)
+    # at least one large leaf actually sharded over 'data'
+    leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s, specs))
+    assert any("data" in str(s) for s in leaves)
+    # shapes preserved
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a.shape, b.shape),
+        sharded, state.opt_state)
+
+
+def test_tensor_parallel_forward_matches_replicated():
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    params = llava_model.init_params(jax.random.PRNGKey(0), CFG)
+    batch = _batch(b=4)
+
+    specs = param_partition_specs(params, mesh)
+    params_tp = shard_pytree(params, specs, mesh)
+    bsh = batch_sharding(mesh)
+    args = {k: jax.device_put(batch[k], bsh)
+            for k in ("queries", "queries_attention_mask", "images")}
+
+    def fwd(p, q, m, im):
+        return llava_model.forward(p, CFG, q, m, im, remat=False)["logits"]
+
+    out_tp = jax.jit(fwd)(params_tp, args["queries"],
+                          args["queries_attention_mask"], args["images"])
+    out_ref = fwd(params, batch["queries"],
+                  batch["queries_attention_mask"], batch["images"])
+    # bf16 params + sharded-reduction order → small elementwise noise
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_ref),
+                               atol=2e-2, rtol=2e-2)
