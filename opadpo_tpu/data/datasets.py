@@ -24,11 +24,14 @@ from opadpo_tpu.data.tokenization import preprocess, tokenizer_image_token
 
 
 def _decode_image(item: Dict, image_dir: Optional[str] = None):
-    if "images" in item and item["images"] is not None:
-        return load_image(item["images"], image_dir)
-    if "image_id" in item:
-        return load_image(item["image_id"], image_dir)
-    if "image_bytes" in item:
+    import os
+    for key in ("images", "image_id"):
+        src = item.get(key)
+        if isinstance(src, str) and src:
+            path = os.path.join(image_dir, src) if image_dir else src
+            if os.path.exists(path):
+                return load_image(path)
+    if item.get("image_bytes"):
         raw = item["image_bytes"]
         if isinstance(raw, str):
             raw = base64.b64decode(raw.encode("utf-8"))
@@ -41,9 +44,11 @@ class DPODataset:
     the query from the fixed vicuna template with the '图 ' glyph standing
     in for ``<image>``, CLIP-preprocesses the image."""
 
-    def __init__(self, dataset, image_dir: Optional[str] = None):
+    def __init__(self, dataset, image_dir: Optional[str] = None,
+                 image_size: int = 336):
         self.dataset = dataset
         self.image_dir = image_dir
+        self.image_size = image_size
 
     def __len__(self):
         return len(self.dataset)
@@ -51,7 +56,8 @@ class DPODataset:
     def __getitem__(self, idx: int) -> Dict:
         item = self.dataset[int(idx)]
         image = _decode_image(item, self.image_dir)
-        pixel = clip_preprocess(image, pad_to_square=True)
+        pixel = clip_preprocess(image, pad_to_square=True,
+                                size=self.image_size)
         query = (conversation_lib.DPO_QUERY_PREFIX
                  + item["queries"].replace(DEFAULT_IMAGE_TOKEN, "图 ")
                  + conversation_lib.DPO_QUERY_SUFFIX)
@@ -73,12 +79,14 @@ class SFTDataset:
     materializing two mapped copies."""
 
     def __init__(self, dataset, tokenizer, image_dir: Optional[str] = None,
-                 query_len: int = 128, response_len: int = 896):
+                 query_len: int = 128, response_len: int = 896,
+                 image_size: int = 336):
         self.dataset = dataset
         self.tokenizer = tokenizer
         self.image_dir = image_dir
         self.query_len = query_len
         self.response_len = response_len
+        self.image_size = image_size
 
     def __len__(self):
         return 2 * len(self.dataset)
@@ -88,7 +96,8 @@ class SFTDataset:
         item = self.dataset[base_idx]
         response_key = "standard_response" if which == 0 else "AI_pseudo_response"
         image = _decode_image(item, self.image_dir)
-        pixel = clip_preprocess(image, pad_to_square=True)
+        pixel = clip_preprocess(image, pad_to_square=True,
+                                size=self.image_size)
 
         query = item["queries"]
         if DEFAULT_IMAGE_TOKEN not in query:
@@ -114,11 +123,12 @@ class QueryDataset:
     queries + image payloads for the GPT-4V correction call."""
 
     def __init__(self, dataset, tokenizer, image_dir: Optional[str] = None,
-                 query_len: int = 128):
+                 query_len: int = 128, image_size: int = 336):
         self.dataset = dataset
         self.tokenizer = tokenizer
         self.image_dir = image_dir
         self.query_len = query_len
+        self.image_size = image_size
 
     def __len__(self):
         return len(self.dataset)
@@ -126,7 +136,8 @@ class QueryDataset:
     def __getitem__(self, idx: int) -> Dict:
         item = self.dataset[int(idx)]
         image = _decode_image(item, self.image_dir)
-        pixel = clip_preprocess(image, pad_to_square=True)
+        pixel = clip_preprocess(image, pad_to_square=True,
+                                size=self.image_size)
 
         query = item["queries"] if "queries" in item else item["question"]
         if DEFAULT_IMAGE_TOKEN not in query:
@@ -153,6 +164,7 @@ class QueryDataset:
             "query_text": item.get("queries", query),
             "standard_response_text": item.get("standard_response", ""),
             "image_bytes": image_bytes,
+            "image_id": item.get("image_id", item.get("images", "")),
         }
 
 
@@ -163,11 +175,13 @@ class QueryDataset:
 def make_dpo_data_module(tokenizer, data_path: str,
                          image_dir: Optional[str] = None,
                          query_len: int = 128, response_len: int = 896,
-                         detailed_report: bool = True) -> Dict:
+                         detailed_report: bool = True,
+                         image_size: int = 336) -> Dict:
     from datasets import load_from_disk
     dataset = load_from_disk(data_path)
     return dict(
-        train_dataset=DPODataset(dataset, image_dir=image_dir),
+        train_dataset=DPODataset(dataset, image_dir=image_dir,
+                                 image_size=image_size),
         eval_dataset=None,
         data_collator=DPOCollator(tokenizer=tokenizer, query_len=query_len,
                                   response_len=response_len,
@@ -178,13 +192,15 @@ def make_dpo_data_module(tokenizer, data_path: str,
 def make_sft_data_module(tokenizer, data_path: str,
                          image_dir: Optional[str] = None,
                          query_len: int = 128,
-                         response_len: int = 896) -> Dict:
+                         response_len: int = 896,
+                         image_size: int = 336) -> Dict:
     from datasets import load_from_disk
     dataset = load_from_disk(data_path)
     return dict(
         train_dataset=SFTDataset(dataset, tokenizer, image_dir=image_dir,
                                  query_len=query_len,
-                                 response_len=response_len),
+                                 response_len=response_len,
+                                 image_size=image_size),
         eval_dataset=None,
         data_collator=SFTCollator(tokenizer=tokenizer),
     )
@@ -192,12 +208,14 @@ def make_sft_data_module(tokenizer, data_path: str,
 
 def make_rollout_data_module(tokenizer, data_path: str,
                              image_dir: Optional[str] = None,
-                             query_len: int = 128) -> Dict:
+                             query_len: int = 128,
+                             image_size: int = 336) -> Dict:
     from datasets import load_from_disk
     dataset = load_from_disk(data_path)
     return dict(
         train_dataset=QueryDataset(dataset, tokenizer, image_dir=image_dir,
-                                   query_len=query_len),
+                                   query_len=query_len,
+                                   image_size=image_size),
         eval_dataset=None,
         data_collator=QueryCollator(),
     )

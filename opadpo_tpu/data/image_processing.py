@@ -59,16 +59,16 @@ def _center_crop(arr: np.ndarray, size: int) -> np.ndarray:
     return arr[top:top + size, left:left + size]
 
 
-def clip_preprocess(img: Image.Image, pad_to_square: bool = True
-                    ) -> np.ndarray:
-    """PIL image → normalized float32 [336, 336, 3] (HWC)."""
+def clip_preprocess(img: Image.Image, pad_to_square: bool = True,
+                    size: int = CROP_SIZE) -> np.ndarray:
+    """PIL image → normalized float32 [size, size, 3] (HWC)."""
     img = img.convert("RGB")
     if pad_to_square:
         bg = tuple(int(x * 255) for x in CLIP_MEAN)
         img = expand2square(img, bg)
-    img = _resize_shortest_edge(img, SHORTEST_EDGE)
+    img = _resize_shortest_edge(img, size)
     arr = np.asarray(img, np.float32)
-    arr = _center_crop(arr, CROP_SIZE)
+    arr = _center_crop(arr, size)
     arr = arr / 255.0
     mean = np.asarray(CLIP_MEAN, np.float32)
     std = np.asarray(CLIP_STD, np.float32)

@@ -1,0 +1,136 @@
+"""Shared pipeline runtime: model/config/tokenizer loading + mesh setup.
+
+Replaces the reference's per-entry-point model assembly
+(``opadpo_train.py:559-797`` / ``opa_train.py:287-563`` boilerplate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from opadpo_tpu.models import clip as clip_model
+from opadpo_tpu.models import llama as llama_model
+from opadpo_tpu.models import projector as projector_model
+from opadpo_tpu.models.llava import LlavaConfig
+from opadpo_tpu.parallel import MeshConfig, make_mesh
+
+
+def llava_config_from_hf(model_dir: str) -> LlavaConfig:
+    """Build LlavaConfig from a HF checkpoint's config.json."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    lm = llama_model.LlamaConfig(
+        vocab_size=hf.get("vocab_size", 32000),
+        hidden_size=hf.get("hidden_size", 4096),
+        intermediate_size=hf.get("intermediate_size", 11008),
+        num_layers=hf.get("num_hidden_layers", 32),
+        num_heads=hf.get("num_attention_heads", 32),
+        num_kv_heads=hf.get("num_key_value_heads",
+                            hf.get("num_attention_heads", 32)),
+        head_dim=hf.get("hidden_size", 4096)
+        // hf.get("num_attention_heads", 32),
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        rope_base=hf.get("rope_theta", 10000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+    )
+    select_layer = hf.get("mm_vision_select_layer", -2)
+    vis = clip_model.ClipVisionConfig(select_layer=select_layer)
+    proj = projector_model.ProjectorConfig(in_dim=vis.hidden_size,
+                                           out_dim=lm.hidden_size)
+    return LlavaConfig(lm, vis, proj)
+
+
+def load_tokenizer(model_dir: str, model_max_length: int = 2048):
+    """Vicuna/LLaMA tokenizer with the reference's pad handling
+    (pad → unk id 0)."""
+    from transformers import AutoTokenizer
+    tok = AutoTokenizer.from_pretrained(model_dir, use_fast=False,
+                                        model_max_length=model_max_length)
+    if tok.pad_token is None:
+        tok.pad_token = tok.unk_token
+    return tok
+
+
+def setup_model(
+    model_dir: Optional[str],
+    vision_dir: Optional[str] = None,
+    mesh_config: Optional[MeshConfig] = None,
+    skip_loading_weights: bool = False,
+    tiny: bool = False,
+    seed: int = 42,
+) -> Tuple[LlavaConfig, dict, "jax.sharding.Mesh"]:
+    """(cfg, params, mesh).  ``skip_loading_weights`` builds a random-init
+    model from config only — the reference's debug hook
+    (``checkpoint_utils.py:64-66``, configs comment 'to speed up
+    debugging').  ``tiny`` shrinks the architecture too."""
+    from opadpo_tpu.models import llava as llava_model_mod
+    from opadpo_tpu.models.loader import load_llava_checkpoint
+    from opadpo_tpu.parallel import param_partition_specs, shard_pytree
+
+    mesh = make_mesh(mesh_config)
+    if tiny:
+        cfg = LlavaConfig.tiny()
+        params = llava_model_mod.init_params(jax.random.PRNGKey(seed), cfg)
+    elif skip_loading_weights or model_dir is None:
+        cfg = (llava_config_from_hf(model_dir) if model_dir
+               else LlavaConfig.llava_7b())
+        params = llava_model_mod.init_params(jax.random.PRNGKey(seed), cfg)
+    else:
+        cfg = llava_config_from_hf(model_dir)
+        params = load_llava_checkpoint(model_dir, cfg, vision_dir=vision_dir)
+
+    specs = param_partition_specs(params, mesh)
+    params = shard_pytree(params, specs, mesh)
+    return cfg, params, mesh
+
+
+def device_put_batch(batch: dict, mesh) -> dict:
+    """Host numpy batch → device arrays, batch axis sharded over data."""
+    from opadpo_tpu.parallel.mesh import batch_sharding
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            out[k] = jax.device_put(v, sh)
+        else:
+            out[k] = v
+    return out
+
+
+@dataclasses.dataclass
+class StepTimer:
+    """Per-step wall-clock + tokens/sec tracking (the tracing/profiling
+    subsystem the reference lacks — SURVEY §5)."""
+
+    history: list = dataclasses.field(default_factory=list)
+
+    def record(self, name: str, seconds: float, **counters):
+        entry = {"name": name, "seconds": seconds, **counters}
+        self.history.append(entry)
+        return entry
+
+    def summary(self) -> dict:
+        import collections
+        agg = collections.defaultdict(list)
+        for e in self.history:
+            agg[e["name"]].append(e["seconds"])
+        return {k: {"mean_s": float(np.mean(v)), "count": len(v)}
+                for k, v in agg.items()}
+
+
+def maybe_start_profiler(output_dir: str, step: int, start_step: int = 5,
+                         num_steps: int = 3) -> bool:
+    """jax.profiler trace hook: captures steps [start, start+num) to
+    output_dir/profile."""
+    if step == start_step:
+        jax.profiler.start_trace(os.path.join(output_dir, "profile"))
+        return True
+    if step == start_step + num_steps:
+        jax.profiler.stop_trace()
+    return False

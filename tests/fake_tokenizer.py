@@ -39,7 +39,10 @@ class FakeTokenizer:
             elif part == "<s>":
                 ids.append(self.bos_token_id)
             else:
-                ids.extend(self.OFFSET + (ord(c) % 500) for c in part)
+                # '图' maps to the real Llama glyph id so the DPO collator's
+                # IMAGE_TOKEN_INDEX remap (data_utils_dpo.py:121) exercises
+                ids.extend(30861 if c == "图"
+                           else self.OFFSET + (ord(c) % 500) for c in part)
         return ([self.bos_token_id] + ids) if add_bos else ids
 
     def __call__(self, text: Union[str, List[str]], padding=None,

@@ -1,0 +1,131 @@
+"""End-to-end 4-stage pipeline smoke test on the tiny model (CPU, 8 virtual
+devices): rollout → dataset construction → OPA SFT → OPA-DPO, exercising
+the real drivers, collators, checkpoint contract, and resume paths."""
+
+import base64
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from opadpo_tpu.pipeline.config import Config
+from opadpo_tpu.pipeline import checkpoints as ckpt_lib
+
+
+def _tiny_prompt_dataset(path, n=16):
+    from datasets import Dataset
+    rng = np.random.default_rng(0)
+    imgs = []
+    for _ in range(n):
+        arr = rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        imgs.append(base64.b64encode(buf.getvalue()).decode())
+    Dataset.from_dict({
+        "queries": [f"<image>\nWhat is in image {i}?" for i in range(n)],
+        "image_bytes": imgs,
+        "standard_response": [f"A standard answer number {i}." for i in range(n)],
+        "image_id": [f"img{i}.png" for i in range(n)],
+    }).save_to_disk(path)
+
+
+def _base_cfg(output_dir, data_path, **training):
+    return Config({
+        "debug": {"tiny": True},
+        "model": {"skip_loading_weights": True},
+        "mesh": {"model": 1},
+        "data": {"data_path": data_path},
+        "training": {"output_dir": output_dir, "seed": 0, **training},
+    })
+
+
+@pytest.fixture(autouse=True)
+def _clean_env(monkeypatch):
+    for var in ("OUTPUT_DIR", "MODEL_DIR", "DATA_DIR", "IMAGE_DIR",
+                "POLICY_LORA_DIR", "API_KEY", "API_KEY0"):
+        monkeypatch.delenv(var, raising=False)
+
+
+def test_full_pipeline(tmp_path):
+    prompts = str(tmp_path / "prompts")
+    _tiny_prompt_dataset(prompts, n=16)
+
+    # ---- stage 1-2: rollout (dry API mode) ----
+    from opadpo_tpu.pipeline import online_generation
+    gen_out = str(tmp_path / "gen")
+    cfg = _base_cfg(gen_out, prompts, response_len=8, query_len=64,
+                    rollout_per_device_batch_size=1, top_k=4, top_p=0.9)
+    online_generation.run(cfg)
+    rollout_dir = os.path.join(gen_out, "rollouts")
+    shards = sorted(os.listdir(rollout_dir))
+    assert len(shards) == 2          # 16 rows / (1*8 per batch)
+
+    # resume is a no-op (all steps already done)
+    online_generation.run(cfg)
+    assert sorted(os.listdir(rollout_dir)) == shards
+
+    # dry-run API → empty reports; inject a fake GPT-4V report so the
+    # dataset filters keep the rows
+    for name in shards:
+        p = os.path.join(rollout_dir, name)
+        with open(p) as f:
+            records = json.load(f)
+        for rec in records:
+            resp = rec["original_generate_response"] or "placeholder resp"
+            rec["original_generate_response"] = resp
+            rec["AI_pseudo_response"] = "A corrected answer."
+            rec["AI_json_report"] = json.dumps({
+                "sentence_1": {"copied content": resp, "score": 2,
+                               "error type": "image_recognition_error",
+                               "rewritten content": "A corrected answer."},
+                "Added": {"rewritten content": ""},
+            })
+        with open(p, "w") as f:
+            json.dump(records, f)
+
+    # ---- dataset construction ----
+    from opadpo_tpu.pipeline.dataset_ops import build_opadpo_datasets
+    opa_data = str(tmp_path / "opa_data")
+    dpo_data = str(tmp_path / "dpo_data")
+    build_opadpo_datasets([rollout_dir], opa_data, dpo_data)
+    from datasets import load_from_disk
+    assert len(load_from_disk(dpo_data)) == 16
+
+    # ---- stage 3: OPA SFT ----
+    from opadpo_tpu.pipeline import opa_train
+    opa_out = str(tmp_path / "opa_out")
+    cfg = _base_cfg(opa_out, opa_data, num_train_epochs=1,
+                    per_device_train_batch_size=1,
+                    gradient_accumulation_steps=1, save_steps=1000,
+                    query_len=64, response_len=32, logging_steps=1,
+                    tune_vision_tower=True, lora_r=4, lora_alpha=8)
+    opa_train.train(cfg)
+    final = os.path.join(opa_out, "checkpoint-final")
+    assert os.path.isdir(os.path.join(final, "adapter_model", "lora_policy"))
+    _, completed = ckpt_lib.get_last_checkpoint(opa_out)
+    assert completed
+    assert os.path.exists(os.path.join(opa_out, "train_log.jsonl"))
+
+    # ---- stage 4: OPA-DPO ----
+    from opadpo_tpu.pipeline import opadpo_train
+    dpo_out = str(tmp_path / "dpo_out")
+    cfg = _base_cfg(
+        dpo_out, dpo_data, total_epochs=1, max_step=2,
+        rollout_batch_size=8, step_batch_size=8,
+        rollout_per_device_batch_size=1, step_per_device_batch_size=1,
+        noptepochs=1, save_steps=1, query_len=256, response_len=16,
+        lora_r=4, lora_alpha=8, CoPO=True, CoPO_method="random",
+        AncPO=True, warmup_steps=0)
+    opadpo_train.train(cfg)
+    assert os.path.isdir(os.path.join(dpo_out, "checkpoint-2"))
+    assert os.path.exists(os.path.join(dpo_out, COMPLETED := "completed"))
+    with open(os.path.join(dpo_out, "train_log.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == 2
+    assert np.isfinite(lines[-1]["loss/total"])
+
+    # ---- resume path: completed run is a no-op ----
+    opadpo_train.train(cfg)
