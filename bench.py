@@ -19,12 +19,20 @@ Timing forces a host transfer per measurement because the axon tunnel's
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: the 7B scoring program takes ~4 min to
+# compile cold over the device tunnel; warm runs start in seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_BASELINE_TOKENS_PER_SEC = 11000.0
 
@@ -62,16 +70,21 @@ def bench_dpo_scoring() -> dict:
     responses = tuple(resp(s)[0] for s in (1, 2, 3))
     masks = tuple(resp(s)[1] for s in (1, 2, 3))
 
-    fn = jax.jit(lambda p, q, m, im: score_responses(
-        p, cfg, dpo, q, m, im, responses, masks, remat=False))
+    # responses/masks MUST be jit arguments: closed-over token arrays
+    # become XLA constants and constant-folding through the embedding
+    # gathers blows compile time up from minutes to >25 min (measured).
+    fn = jax.jit(lambda p, q, m, im, r, rm: score_responses(
+        p, cfg, dpo, q, m, im, r, rm, remat=False))
 
-    out = fn(params, jnp.asarray(queries), jnp.asarray(q_mask), images)
+    args = (params, jnp.asarray(queries), jnp.asarray(q_mask), images,
+            responses, masks)
+    out = fn(*args)
     _ = float(jnp.sum(out["logprobs"][0]))      # force execution
 
     n_iters = 8
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = fn(params, jnp.asarray(queries), jnp.asarray(q_mask), images)
+        out = fn(*args)
     _ = float(jnp.sum(out["logprobs"][0]))
     dt = (time.perf_counter() - t0) / n_iters
 

@@ -96,8 +96,9 @@ def run_inference(
         pad_token_id=tokenizer.pad_token_id,
         max_new_tokens=max_new_tokens)
 
-    gen_fn = jax.jit(lambda q, m, im, r: sampler_generate(
-        params, cfg, q, m, im, r, sampling, lora=lora,
+    # params/lora as jit args (closure arrays become baked-in constants)
+    gen_fn = jax.jit(lambda p, lo, q, m, im, r: sampler_generate(
+        p, cfg, q, m, im, r, sampling, lora=lo,
         lora_scaling=lora_scaling))
 
     os.makedirs(os.path.dirname(answers_file) or ".", exist_ok=True)
@@ -126,7 +127,7 @@ def run_inference(
 
             rng, sub = jax.random.split(rng)
             t0 = time.time()
-            tokens = np.asarray(gen_fn(jnp.asarray(queries),
+            tokens = np.asarray(gen_fn(params, lora, jnp.asarray(queries),
                                        jnp.asarray(mask),
                                        jnp.asarray(images), sub))
             tokens = truncate_after_tokens(tokens, tokenizer.eos_token_id,

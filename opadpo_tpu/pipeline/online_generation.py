@@ -172,8 +172,11 @@ def run(cfg: Config) -> None:
         logger.warning("no API_KEY configured — responses pass through "
                        "uncorrected (degraded mode)")
 
-    gen_fn = jax.jit(lambda q, m, im, r: sampler_generate(
-        params, llava_cfg, q, m, im, r, sampling, lora=lora,
+    # params/lora must be jit ARGUMENTS, not closure captures — closed-over
+    # arrays are baked into the program as constants (compile-time blowup,
+    # duplicated HBM).
+    gen_fn = jax.jit(lambda p, lo, q, m, im, r: sampler_generate(
+        p, llava_cfg, q, m, im, r, sampling, lora=lo,
         lora_scaling=lora_scaling))
 
     pool = concurrent.futures.ThreadPoolExecutor(
@@ -202,7 +205,8 @@ def run(cfg: Config) -> None:
         dev = device_put_batch(
             {k: batch[k] for k in ("queries", "query_attn_masks", "images")},
             mesh)
-        tokens = np.asarray(gen_fn(dev["queries"], dev["query_attn_masks"],
+        tokens = np.asarray(gen_fn(params, lora, dev["queries"],
+                                   dev["query_attn_masks"],
                                    dev["images"], sub))
         tokens = truncate_after_tokens(
             tokens, tokenizer.eos_token_id, tokenizer.pad_token_id,

@@ -21,6 +21,18 @@ from opadpo_tpu.models.llava import LlavaConfig
 from opadpo_tpu.parallel import MeshConfig, make_mesh
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compile cache (the 7B programs take minutes cold)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(repo_root, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def llava_config_from_hf(model_dir: str) -> LlavaConfig:
     """Build LlavaConfig from a HF checkpoint's config.json."""
     with open(os.path.join(model_dir, "config.json")) as f:
@@ -73,6 +85,7 @@ def setup_model(
     from opadpo_tpu.models.loader import load_llava_checkpoint
     from opadpo_tpu.parallel import param_partition_specs, shard_pytree
 
+    enable_compilation_cache()
     mesh = make_mesh(mesh_config)
     if tiny:
         cfg = LlavaConfig.tiny()

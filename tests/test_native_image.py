@@ -1,0 +1,78 @@
+"""Native C++ image pipeline: build, numerics vs the PIL/HF path, speed."""
+
+import io
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from opadpo_tpu.data.image_processing import clip_preprocess
+from opadpo_tpu.data.native_image import (
+    native_available, preprocess_jpeg_batch, preprocess_rgb,
+)
+
+
+@pytest.fixture(scope="module")
+def sample_jpeg():
+    rng = np.random.default_rng(0)
+    # smooth image so JPEG loss stays small
+    base = rng.normal(size=(8, 10, 3))
+    arr = np.kron(base, np.ones((25, 25, 1)))
+    arr = ((arr - arr.min()) / (arr.max() - arr.min()) * 255).astype(np.uint8)
+    img = Image.fromarray(arr)        # 200x250
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    return buf.getvalue(), arr
+
+
+def test_native_builds():
+    assert native_available(), "native image pipeline failed to build"
+
+
+def test_rgb_matches_pil_path(sample_jpeg):
+    _, arr = sample_jpeg
+    ours = preprocess_rgb(arr, out_size=336)
+    assert ours is not None
+    ref = clip_preprocess(Image.fromarray(arr), size=336)
+    # separable float bicubic vs Pillow fixed-point: small per-pixel noise
+    diff = np.abs(ours - ref)
+    assert diff.mean() < 0.02
+    assert np.quantile(diff, 0.99) < 0.12
+
+
+def test_jpeg_batch(sample_jpeg):
+    jpeg, arr = sample_jpeg
+    out = preprocess_jpeg_batch([jpeg] * 4, out_size=336)
+    assert out.shape == (4, 336, 336, 3)
+    ref = clip_preprocess(Image.open(io.BytesIO(jpeg)), size=336)
+    diff = np.abs(out[0] - ref)
+    assert diff.mean() < 0.02
+
+
+def test_png_fallback(sample_jpeg):
+    _, arr = sample_jpeg
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    out = preprocess_jpeg_batch([buf.getvalue()], out_size=64)
+    ref = clip_preprocess(Image.fromarray(arr), size=64)
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)
+
+
+def test_native_is_faster_than_pil(sample_jpeg):
+    jpeg, _ = sample_jpeg
+    batch = [jpeg] * 32
+
+    preprocess_jpeg_batch(batch, out_size=336)     # warm-up (allocations)
+    t0 = time.perf_counter()
+    preprocess_jpeg_batch(batch, out_size=336)
+    native_t = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for d in batch:
+        clip_preprocess(Image.open(io.BytesIO(d)), size=336)
+    pil_t = time.perf_counter() - t0
+
+    print(f"native {native_t * 1e3:.1f} ms vs PIL {pil_t * 1e3:.1f} ms "
+          f"for 32 images")
+    assert native_t < pil_t
