@@ -82,6 +82,100 @@ def generate(
     return state[-1]
 
 
+def decode_loop(
+    params: dict,
+    cfg: LlavaConfig,
+    cache: dict,
+    key_mask: jax.Array,
+    positions: jax.Array,
+    last_logits: jax.Array,
+    rng: jax.Array,
+    sampling: SamplingConfig,
+    s_prompt: int,
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+) -> jax.Array:
+    """The decode while_loop alone (post-prefill) → tokens [B, max_new]."""
+    b = key_mask.shape[0]
+    eos = sampling.eos_token_id
+    pad = sampling.pad_token_id
+
+    def cond(state):
+        step, _, _, _, _, _, done, _ = state
+        return jnp.logical_and(step < sampling.max_new_tokens,
+                               jnp.logical_not(jnp.all(done)))
+
+    def body(state):
+        step, rng, cache, key_mask, positions, last_logits, done, out = state
+        rng, sub = jax.random.split(rng)
+        tok = sample_tokens(sub, last_logits, sampling)
+        tok = jnp.where(done, pad, tok)
+        out = out.at[:, step].set(tok)
+        done = jnp.logical_or(done, tok == eos)
+        key_mask = jax.lax.dynamic_update_slice(
+            key_mask, jnp.ones((b, 1), key_mask.dtype), (0, s_prompt + step))
+        logits, cache = llava_model.decode_step(
+            params, cfg, tok, cache, key_mask, positions,
+            lora=lora, lora_scaling=lora_scaling)
+        return (step + 1, rng, cache, key_mask, positions + 1, logits,
+                done, out)
+
+    out0 = jnp.full((b, sampling.max_new_tokens), pad, jnp.int32)
+    state = (jnp.zeros((), jnp.int32), rng, cache, key_mask, positions,
+             last_logits, jnp.zeros((b,), bool), out0)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[-1]
+
+
+class Sampler:
+    """Production sampler: prefill and the decode loop are compiled as TWO
+    separate programs.
+
+    A single jitted prefill+decode program at 7B crashes the TPU compile
+    service (observed: tpu_compile_helper exit 1 over the device tunnel)
+    and holds peak memory for both phases simultaneously; splitting keeps
+    each program small and lets the decode loop donate the KV cache.
+    ``generate()`` above remains the single-program path used by the tiny
+    CPU tests.
+    """
+
+    def __init__(self, cfg: LlavaConfig, sampling: SamplingConfig,
+                 lora_scaling: float = 1.0):
+        self.cfg = cfg
+        self.sampling = sampling
+        self.lora_scaling = lora_scaling
+        self._prefill_fn = {}
+        self._decode_fn = {}
+
+    def _get_prefill(self, cache_len: int):
+        if cache_len not in self._prefill_fn:
+            self._prefill_fn[cache_len] = jax.jit(
+                lambda p, lo, q, m, im: llava_model.prefill(
+                    p, self.cfg, q, m, im, cache_len, lora=lo,
+                    lora_scaling=self.lora_scaling))
+        return self._prefill_fn[cache_len]
+
+    def _get_decode(self, s_prompt: int):
+        if s_prompt not in self._decode_fn:
+            self._decode_fn[s_prompt] = jax.jit(
+                lambda p, lo, c, km, pos, ll, r: decode_loop(
+                    p, self.cfg, c, km, pos, ll, r, self.sampling,
+                    s_prompt, lora=lo, lora_scaling=self.lora_scaling),
+                donate_argnums=(2,))          # cache updated in place
+        return self._decode_fn[s_prompt]
+
+    def generate(self, params, input_ids, text_mask, images, rng,
+                 lora: Optional[dict] = None) -> jax.Array:
+        b, l = input_ids.shape
+        s_prompt = l - 1 + self.cfg.num_patches
+        cache_len = s_prompt + self.sampling.max_new_tokens
+        pf = self._get_prefill(cache_len)(params, lora, input_ids,
+                                          text_mask, images)
+        return self._get_decode(s_prompt)(
+            params, lora, pf["cache"], pf["key_mask"], pf["next_position"],
+            pf["last_logits"], rng)
+
+
 def truncate_after_tokens(
     responses: np.ndarray,      # [B, R] sampled ids
     eos_token_id: int,

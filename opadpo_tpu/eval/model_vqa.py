@@ -30,8 +30,7 @@ from opadpo_tpu.constants import DEFAULT_IMAGE_TOKEN
 from opadpo_tpu.data import conversation as conversation_lib
 from opadpo_tpu.data.image_processing import clip_preprocess, load_image
 from opadpo_tpu.data.tokenization import tokenizer_image_token
-from opadpo_tpu.engine.sampler import generate as sampler_generate
-from opadpo_tpu.engine.sampler import truncate_after_tokens
+from opadpo_tpu.engine.sampler import Sampler, truncate_after_tokens
 from opadpo_tpu.engine.sampling import SamplingConfig
 
 SHORT_EVAL_SUFFIX = ("\nAnswer the question using a single word or phrase.")
@@ -96,10 +95,7 @@ def run_inference(
         pad_token_id=tokenizer.pad_token_id,
         max_new_tokens=max_new_tokens)
 
-    # params/lora as jit args (closure arrays become baked-in constants)
-    gen_fn = jax.jit(lambda p, lo, q, m, im, r: sampler_generate(
-        p, cfg, q, m, im, r, sampling, lora=lo,
-        lora_scaling=lora_scaling))
+    sampler = Sampler(cfg, sampling, lora_scaling=lora_scaling)
 
     os.makedirs(os.path.dirname(answers_file) or ".", exist_ok=True)
     rng = jax.random.PRNGKey(0)
@@ -116,20 +112,27 @@ def run_inference(
                 img = load_image(q["image"], image_dir)
                 pixels.append(clip_preprocess(img, size=img_size))
 
-            qlen = max(query_len, max(len(r) for r in ids_rows))
+            # bucket prompt length to multiples of 64 and pad the batch to
+            # full size — each unique (qlen, batch) shape is a fresh ~3 min
+            # compile at 7B
+            longest = max(len(r) for r in ids_rows)
+            qlen = max(query_len, -(-longest // 64) * 64)
             b = len(chunk)
-            queries = np.zeros((b, qlen), np.int64)
-            mask = np.zeros((b, qlen), np.int64)
+            queries = np.zeros((batch_size, qlen), np.int64)
+            mask = np.zeros((batch_size, qlen), np.int64)
             for i, r in enumerate(ids_rows):
+                r = r[-qlen:]
                 queries[i, -len(r):] = r
                 mask[i, -len(r):] = 1
-            images = np.stack(pixels)
+            images = np.zeros((batch_size, img_size, img_size, 3),
+                              np.float32)
+            images[:b] = np.stack(pixels)
 
             rng, sub = jax.random.split(rng)
             t0 = time.time()
-            tokens = np.asarray(gen_fn(params, lora, jnp.asarray(queries),
-                                       jnp.asarray(mask),
-                                       jnp.asarray(images), sub))
+            tokens = np.asarray(sampler.generate(
+                params, jnp.asarray(queries), jnp.asarray(mask),
+                jnp.asarray(images), sub, lora=lora))[:b]
             tokens = truncate_after_tokens(tokens, tokenizer.eos_token_id,
                                            tokenizer.pad_token_id)
             texts = tokenizer.batch_decode(tokens, skip_special_tokens=True)

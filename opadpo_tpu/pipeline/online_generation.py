@@ -37,8 +37,7 @@ from opadpo_tpu.constants import (
 )
 from opadpo_tpu.data.datasets import make_rollout_data_module
 from opadpo_tpu.data.loading import DataLoader, InfiniteLoader
-from opadpo_tpu.engine.sampler import generate as sampler_generate
-from opadpo_tpu.engine.sampler import truncate_after_tokens
+from opadpo_tpu.engine.sampler import Sampler, truncate_after_tokens
 from opadpo_tpu.engine.sampling import SamplingConfig
 from opadpo_tpu.models.loader import load_peft_adapter
 from opadpo_tpu.parallel import MeshConfig
@@ -172,12 +171,7 @@ def run(cfg: Config) -> None:
         logger.warning("no API_KEY configured — responses pass through "
                        "uncorrected (degraded mode)")
 
-    # params/lora must be jit ARGUMENTS, not closure captures — closed-over
-    # arrays are baked into the program as constants (compile-time blowup,
-    # duplicated HBM).
-    gen_fn = jax.jit(lambda p, lo, q, m, im, r: sampler_generate(
-        p, llava_cfg, q, m, im, r, sampling, lora=lo,
-        lora_scaling=lora_scaling))
+    sampler = Sampler(llava_cfg, sampling, lora_scaling=lora_scaling)
 
     pool = concurrent.futures.ThreadPoolExecutor(
         max_workers=int(os.environ.get("API_WORKERS", "8")))
@@ -205,9 +199,9 @@ def run(cfg: Config) -> None:
         dev = device_put_batch(
             {k: batch[k] for k in ("queries", "query_attn_masks", "images")},
             mesh)
-        tokens = np.asarray(gen_fn(params, lora, dev["queries"],
-                                   dev["query_attn_masks"],
-                                   dev["images"], sub))
+        tokens = np.asarray(sampler.generate(
+            params, dev["queries"], dev["query_attn_masks"], dev["images"],
+            sub, lora=lora))
         tokens = truncate_after_tokens(
             tokens, tokenizer.eos_token_id, tokenizer.pad_token_id,
             additional_tokens=(LLAMA_QMARK_TOKEN, LLAMA_NL_QMARK_TOKEN))

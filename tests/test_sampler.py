@@ -87,3 +87,27 @@ def test_truncate_after_tokens():
     np.testing.assert_array_equal(out[0], [5, 7, 2, 0, 0])
     np.testing.assert_array_equal(out[1], [5, 1577, 0, 0, 0])
     np.testing.assert_array_equal(out[2], [4, 4, 4, 4, 4])
+
+
+def test_split_sampler_matches_generate():
+    # f32 model: in bf16, eager-vs-jit fusion rounding (~2^-8) flips
+    # argmax on the near-uniform random tiny model
+    import dataclasses
+    from opadpo_tpu.engine.sampler import Sampler
+    import jax.numpy as jnp
+    cfg32 = LlavaConfig(
+        dataclasses.replace(CFG.llama, dtype=jnp.float32),
+        dataclasses.replace(CFG.vision, dtype=jnp.float32),
+        dataclasses.replace(CFG.projector, dtype=jnp.float32))
+    params32 = llava_model.init_params(jax.random.PRNGKey(0), cfg32)
+    ids, mask, images = _inputs()
+    sampling = SamplingConfig(greedy=True, max_new_tokens=5,
+                              eos_token_id=-1)
+    ref = generate(params32, cfg32, ids, mask, images,
+                   jax.random.PRNGKey(0), sampling)
+    s = Sampler(cfg32, sampling)
+    out = s.generate(params32, ids, mask, images, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # second call hits the cached compiled fns
+    out2 = s.generate(params32, ids, mask, images, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
