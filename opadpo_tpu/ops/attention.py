@@ -38,6 +38,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# Global default attention implementation consulted by impl="auto".
+# GSPMD cannot partition a pallas_call across a sharded head axis, so the
+# runtime switches this to "xla" when tensor parallelism (mesh model>1) is
+# active; XLA einsum attention partitions cleanly under GSPMD.  DP-only
+# meshes keep the flash kernel.
+_DEFAULT_IMPL = "auto"
+
+
+def set_default_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    assert impl in ("auto", "flash", "xla"), impl
+    _DEFAULT_IMPL = impl
+
+
+def get_default_impl() -> str:
+    return _DEFAULT_IMPL
+
+
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 # Above this padded length the full-KV-in-VMEM layout stops fitting; fall
@@ -402,6 +420,8 @@ def multi_head_attention(
     impl: "auto" (flash on TPU for self-attention shapes, else XLA),
     "flash", or "xla".
     """
+    if impl == "auto" and _DEFAULT_IMPL != "auto":
+        impl = _DEFAULT_IMPL
     if impl == "auto":
         use_flash = (
             jax.default_backend() == "tpu"

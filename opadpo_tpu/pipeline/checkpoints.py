@@ -75,7 +75,16 @@ def _flatten_numpy(tree: Any, prefix: str = "") -> dict:
 def save_train_state(ckpt_dir: str, state, lora_cfg,
                      adapter_name: str = "lora_policy",
                      extra: Optional[dict] = None) -> None:
-    """Save adapter (PEFT format) + optimizer state (orbax)."""
+    """Save adapter + optimizer state.
+
+    Two adapter records are written:
+    - PEFT ``adapter_model/<name>/`` with the LLaMA-side LoRA (the format
+      the reference's eval stack loads) — vision/projector adapters have
+      no PEFT-LLaVA equivalent there;
+    - ``adapter_full.ckpt`` (orbax) with the COMPLETE trainable pytree
+      (incl. vision-tower/projector adapters from the OPA recipe), used
+      preferentially on restore.
+    """
     from opadpo_tpu.models.loader import save_peft_adapter
     import orbax.checkpoint as ocp
 
@@ -83,12 +92,15 @@ def save_train_state(ckpt_dir: str, state, lora_cfg,
     adapter_dir = os.path.join(ckpt_dir, ADAPTER_MODEL_DIR, adapter_name)
     save_peft_adapter(state.params, adapter_dir, lora_cfg)
 
-    opt_path = os.path.join(ckpt_dir, "optimizer.ckpt")
-    if os.path.exists(opt_path):
-        shutil.rmtree(opt_path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(opt_path),
-               {"opt_state": state.opt_state, "step": state.step})
+    for name, payload in (("adapter_full.ckpt", {"params": state.params}),
+                          ("optimizer.ckpt",
+                           {"opt_state": state.opt_state,
+                            "step": state.step})):
+        path = os.path.join(ckpt_dir, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr.save(os.path.abspath(path), payload)
     ckptr.wait_until_finished()
 
     if extra is not None:
@@ -102,15 +114,21 @@ def restore_train_state(ckpt_dir: str, state, llama_cfg,
     from opadpo_tpu.engine.train_state import TrainState
     from opadpo_tpu.models.loader import load_peft_adapter
     import orbax.checkpoint as ocp
-    import jax
-
-    adapter_dir = os.path.join(ckpt_dir, ADAPTER_MODEL_DIR, adapter_name)
-    lora = load_peft_adapter(adapter_dir, llama_cfg)
-    # keep any non-llama adapter groups from the template (vision etc.)
-    params = dict(state.params)
-    params["llama"] = lora["llama"]
 
     ckptr = ocp.StandardCheckpointer()
+    full_path = os.path.join(ckpt_dir, "adapter_full.ckpt")
+    if os.path.exists(full_path):
+        restored_params = ckptr.restore(
+            os.path.abspath(full_path),
+            target={"params": state.params})["params"]
+        params = restored_params
+    else:
+        adapter_dir = os.path.join(ckpt_dir, ADAPTER_MODEL_DIR, adapter_name)
+        lora = load_peft_adapter(adapter_dir, llama_cfg)
+        # keep any non-llama adapter groups from the template
+        params = dict(state.params)
+        params["llama"] = lora["llama"]
+
     target = {"opt_state": state.opt_state, "step": state.step}
     restored = ckptr.restore(
         os.path.abspath(os.path.join(ckpt_dir, "optimizer.ckpt")),

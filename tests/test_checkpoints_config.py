@@ -1,0 +1,91 @@
+"""Checkpoint contract + config compose unit tests."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opadpo_tpu.engine.train_state import (
+    OptimizerConfig, TrainState, make_optimizer,
+)
+from opadpo_tpu.models import llava as llava_model
+from opadpo_tpu.models.llava import LlavaConfig
+from opadpo_tpu.models.lora import LoraConfig
+from opadpo_tpu.pipeline import checkpoints as ck
+from opadpo_tpu.pipeline.config import apply_overrides, load_config
+
+CFG = LlavaConfig.tiny()
+LORA_CFG = LoraConfig(rank=4, alpha=8.0)
+
+
+def test_checkpoint_discovery(tmp_path):
+    out = str(tmp_path)
+    assert ck.get_last_checkpoint(out) == (None, False)
+    os.makedirs(os.path.join(out, "checkpoint-10"))
+    os.makedirs(os.path.join(out, "checkpoint-250"))
+    os.makedirs(os.path.join(out, "checkpoint-30"))
+    os.makedirs(os.path.join(out, "not-a-checkpoint"))
+    best, completed = ck.get_last_checkpoint(out)
+    assert os.path.basename(best) == "checkpoint-250"
+    assert not completed
+    ck.mark_completed(out)
+    assert ck.get_last_checkpoint(out)[1]
+    assert ck.parse_checkpoint_step(best) == 250
+
+
+def test_find_max_step(tmp_path):
+    d = str(tmp_path)
+    assert ck.find_max_step(d) == 0
+    for name in ("step1_rank0.json", "step3_rank1.json", "step2_rank0.json",
+                 "other.json"):
+        open(os.path.join(d, name), "w").write("[]")
+    assert ck.find_max_step(d) == 3
+
+
+def test_train_state_roundtrip_with_vision_adapter(tmp_path):
+    """Full-pytree save/restore preserves vision/projector adapters that
+    the PEFT export cannot represent."""
+    lora = llava_model.init_lora(jax.random.PRNGKey(0), CFG, LORA_CFG,
+                                 include_vision=True)
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * jnp.arange(x.size, dtype=x.dtype
+                                        ).reshape(x.shape), lora)
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-3, warmup_steps=0,
+                                        total_steps=10))
+    state = TrainState.create(lora, tx)
+    state = TrainState(params=state.params, opt_state=state.opt_state,
+                       step=jnp.asarray(7, jnp.int32))
+
+    ckpt_dir = str(tmp_path / "checkpoint-7")
+    ck.save_train_state(ckpt_dir, state, LORA_CFG)
+    assert os.path.isdir(os.path.join(ckpt_dir, "adapter_model",
+                                      "lora_policy"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "adapter_full.ckpt"))
+
+    template = TrainState.create(
+        llava_model.init_lora(jax.random.PRNGKey(9), CFG, LORA_CFG,
+                              include_vision=True), tx)
+    restored = ck.restore_train_state(ckpt_dir, template, CFG.llama)
+    assert int(restored.step) == 7
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a, np.float32),
+                                                np.asarray(b, np.float32),
+                                                atol=1e-6),
+        restored.params, state.params)
+
+
+def test_config_compose_and_overrides():
+    cfg = load_config("configs/llava_dpo.yaml")
+    # inherited from base + checkpoints group
+    assert cfg.get_path("model.mm_vision_select_layer") == -2
+    assert cfg.get_path("training.beta") == 0.1
+    assert cfg.get_path("training.rollout_batch_size") == 64
+    assert "image_checkpoint" in cfg
+    cfg = apply_overrides(cfg, ["training.beta=0.2",
+                                "training.CoPO=false",
+                                "mesh.model=2"])
+    assert cfg.get_path("training.beta") == 0.2
+    assert cfg.get_path("training.CoPO") is False
+    assert cfg.get_path("mesh.model") == 2
