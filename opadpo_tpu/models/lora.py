@@ -39,12 +39,21 @@ class LoraConfig:
 
 def lora_dense(
     x: jax.Array,
-    w: jax.Array,
+    w,
     lora: Optional[dict] = None,
     scaling: float = 1.0,
 ) -> jax.Array:
-    """Dense layer [.., in] @ [in, out] with optional LoRA delta."""
-    y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
+    """Dense layer [.., in] @ [in, out] with optional LoRA delta.
+
+    ``w`` may be a plain array or an int8-quantized ``{"q", "scale"}`` dict
+    (ops/quant.py) — the QLoRA configuration: frozen int8 base + bf16
+    adapters."""
+    if isinstance(w, dict) and "q" in w:
+        from opadpo_tpu.ops.quant import q8_dense
+        y = q8_dense(x, w).astype(jnp.float32)
+    else:
+        y = jnp.einsum("...i,io->...o", x, w,
+                       preferred_element_type=jnp.float32)
     if lora is not None:
         xa = jnp.einsum("...i,ir->...r", x, lora["a"],
                         preferred_element_type=jnp.float32)

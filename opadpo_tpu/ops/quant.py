@@ -1,0 +1,179 @@
+"""Int8 weight quantization + Pallas dequantizing matmul.
+
+The reference's 4/8-bit path is bitsandbytes QLoRA (``qlora_model.py:
+151-160``: bnb Linear4bit/8bit with ``llm_int8_skip_modules=["mm_projector",
+"lm_head"]``) — a CUDA-only stack.  TPU-native replacement:
+
+- weights quantize per-output-channel symmetric int8 (absmax / 127);
+- the matmul kernel streams int8 blocks HBM→VMEM, dequantizes in VMEM and
+  feeds the MXU in bf16 — the full-precision weight never exists in HBM,
+  halving weight memory vs bf16 (7B base: 14 GB → 7 GB, which is what
+  lets the frozen DPO base + LoRA + optimizer fit one 16 GB v5e chip);
+- LoRA deltas stay bf16 on top, exactly like QLoRA.
+
+``quantize_params`` walks a params pytree and replaces every 2-D+ weight
+(except norms/embeddings/projector, mirroring the reference's skip list)
+with a ``{"q": int8, "scale": f32}`` dict; ``lora_dense`` dispatches on
+that structure.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(x, m):
+    return _cdiv(x, m) * m
+
+
+def is_quantized(w: Any) -> bool:
+    return isinstance(w, dict) and "q" in w and "scale" in w
+
+
+def quantize_weight(w: jax.Array) -> dict:
+    """[.., in, out] → int8 q + f32 scale per output channel (last dim)."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)      # [.., 1, out]
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
+def dequantize_weight(wq: dict, dtype=jnp.bfloat16) -> jax.Array:
+    return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: x[bm, K] @ dequant(w[K, bn]) with K-blocked accumulation
+# ---------------------------------------------------------------------------
+
+def _q8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_scr, *, nk, bk):
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    x_blk = x_ref[0]                          # [bm, bk]
+    w_blk = q_ref[0]                          # [bk, bn] int8
+    w_deq = w_blk.astype(jnp.bfloat16)
+    acc_scr[:] += jax.lax.dot_general(
+        x_blk, w_deq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kk == nk - 1)
+    def _():
+        scale = s_ref[0, 0]                   # [bn]
+        o_ref[0] = (acc_scr[:] * scale[None, :]).astype(o_ref.dtype)
+
+
+def quant_matmul(
+    x: jax.Array,        # [M, K] bf16/f32
+    wq: dict,            # {"q": [K, N] int8, "scale": [1, N] f32}
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    out_dtype=None,
+) -> jax.Array:
+    """x @ dequant(wq) with in-VMEM dequantization."""
+    q, scale = wq["q"], wq["scale"]
+    m, k = x.shape
+    k2, n = q.shape
+    assert k == k2, (x.shape, q.shape)
+    out_dtype = out_dtype or x.dtype
+
+    mp = _round_up(m, 8)
+    kp = _round_up(k, block_k)
+    np_ = _round_up(n, block_n)
+    bm = min(block_m, mp)
+
+    xp = jnp.pad(x, ((0, mp - m), (0, kp - k)))[None]           # [1, Mp, Kp]
+    qp = jnp.pad(q, ((0, kp - k), (0, np_ - n)))[None]
+    sp = jnp.pad(scale.reshape(1, n), ((0, 0), (0, np_ - n)))[None]
+
+    nk = kp // block_k
+    grid = (_cdiv(mp, bm), np_ // block_n, nk)
+    out = pl.pallas_call(
+        functools.partial(_q8_matmul_kernel, nk=nk, bk=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, block_k), lambda i, j, kk: (0, i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, block_n), lambda i, j, kk: (0, kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n), lambda i, j, kk: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bm, block_n), lambda i, j, kk: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, block_n), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(xp, qp, sp)
+    return out[0, :m, :n]
+
+
+def q8_dense(x: jax.Array, wq: dict) -> jax.Array:
+    """[..., in] @ quantized [in, out], any leading dims."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    if jax.default_backend() == "tpu" and x2.shape[0] >= 8:
+        y = quant_matmul(x2, wq)
+    else:
+        y = jnp.einsum("mk,kn->mn", x2.astype(jnp.float32),
+                       wq["q"].astype(jnp.float32) * wq["scale"],
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    return y.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# pytree quantization (reference get_accelerate_model bits=8 equivalent)
+# ---------------------------------------------------------------------------
+
+# skip list mirrors the reference's llm_int8_skip_modules + norms/embeds
+_SKIP_SUBSTRINGS = ("norm", "embed", "lm_head", "pos_embed", "class_embed",
+                    "projector", "b1", "b2", "bq", "bk", "bv", "bo",
+                    "b_fc1", "b_fc2", "ln1", "ln2", "scale", "bias")
+
+
+def _should_quantize(path_str: str, leaf) -> bool:
+    if getattr(leaf, "ndim", 0) < 2:
+        return False
+    name = path_str.rsplit("/", 1)[-1]
+    return not any(s in name or s in path_str.split("/")[0]
+                   for s in _SKIP_SUBSTRINGS)
+
+
+def quantize_params(params: Any) -> Any:
+    """Replace eligible weights with {"q", "scale"} dicts (llama decoder
+    linears; vision tower linears).  Projector / lm_head / norms /
+    embeddings stay bf16 (reference skip list)."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + [k]) for k, v in node.items()}
+        path_str = "/".join(path)
+        if _should_quantize(path_str, node):
+            return quantize_weight(node)
+        return node
+
+    return walk(params, [])
+
+
+def quantized_bytes(params: Any) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -56,7 +56,8 @@ def train(cfg: Config) -> None:
         mesh_config=MeshConfig(model=int(cfg.get_path("mesh.model", 1))),
         skip_loading_weights=bool(cfg.get_path("model.skip_loading_weights",
                                                False)),
-        tiny=tiny, seed=int(t.get("seed", 42)))
+        tiny=tiny, seed=int(t.get("seed", 42)),
+        bits=int(t.get("bits", 16)))
     n_data = mesh.shape["data"]
 
     lora_cfg = LoraConfig(rank=int(t.get("lora_r", 256)),

@@ -70,6 +70,7 @@ def train(cfg: Config) -> None:
                                                False)),
         tiny=tiny,
         seed=int(t.get("seed", 42)),
+        bits=int(t.get("bits", 16)),
     )
     n_data = mesh.shape["data"]
 

@@ -76,6 +76,7 @@ def setup_model(
     skip_loading_weights: bool = False,
     tiny: bool = False,
     seed: int = 42,
+    bits: int = 16,
 ) -> Tuple[LlavaConfig, dict, "jax.sharding.Mesh"]:
     """(cfg, params, mesh).  ``skip_loading_weights`` builds a random-init
     model from config only — the reference's debug hook
@@ -102,6 +103,14 @@ def setup_model(
     else:
         cfg = llava_config_from_hf(model_dir)
         params = load_llava_checkpoint(model_dir, cfg, vision_dir=vision_dir)
+
+    if bits == 8:
+        # QLoRA configuration: frozen int8 base + bf16 adapters
+        # (reference bits=8 path, qlora_model.py:151-160)
+        from opadpo_tpu.ops.quant import quantize_params
+        params = quantize_params(params)
+    elif bits != 16:
+        raise ValueError(f"bits={bits} unsupported (16 or 8)")
 
     specs = param_partition_specs(params, mesh)
     params = shard_pytree(params, specs, mesh)
