@@ -1,0 +1,203 @@
+"""Minimal production serving entry: HTTP batch-inference server.
+
+The reference stops at offline eval scripts; this adds the deployment
+surface a production TPU setup needs: a single-process HTTP server that
+micro-batches concurrent requests onto the Sampler (prefill +
+donated-cache decode), with the int8 base option for memory headroom.
+
+    python -m opadpo_tpu.serve --model-path <ckpt> [--adapter-path <dir>]
+        [--port 8400] [--bits 8]
+
+POST /v1/generate  {"prompt": "...", "image_b64": "...", "max_new_tokens": N,
+                    "temperature": t, "top_k": k, "top_p": p}
+GET  /healthz
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class InferenceWorker:
+    """Single device-owning thread; micro-batches queued requests."""
+
+    def __init__(self, params, cfg, tokenizer, lora=None,
+                 lora_scaling: float = 1.0, max_batch: int = 8,
+                 max_new_tokens: int = 512, batch_window_s: float = 0.02):
+        from opadpo_tpu.engine.sampler import Sampler
+        from opadpo_tpu.engine.sampling import SamplingConfig
+
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.lora = lora
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
+        self.queue: "queue.Queue" = queue.Queue()
+        self.sampling = SamplingConfig(
+            greedy=True, max_new_tokens=max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id)
+        self.sampler = Sampler(cfg, self.sampling, lora_scaling=lora_scaling)
+        self.rng = jax.random.PRNGKey(0)
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, request: Dict) -> Dict:
+        done = threading.Event()
+        slot = {"request": request, "done": done, "response": None}
+        self.queue.put(slot)
+        done.wait()
+        return slot["response"]
+
+    def _loop(self):
+        while True:
+            slots = [self.queue.get()]
+            t0 = time.time()
+            while (len(slots) < self.max_batch
+                   and time.time() - t0 < self.batch_window_s):
+                try:
+                    slots.append(self.queue.get(timeout=self.batch_window_s))
+                except queue.Empty:
+                    break
+            try:
+                self._run_batch(slots)
+            except Exception as e:
+                for s in slots:
+                    s["response"] = {"error": str(e)}
+                    s["done"].set()
+
+    def _run_batch(self, slots: List[Dict]):
+        from opadpo_tpu.data.image_processing import clip_preprocess, load_image
+        from opadpo_tpu.data.tokenization import tokenizer_image_token
+        from opadpo_tpu.eval.model_vqa import build_prompt
+        from opadpo_tpu.engine.sampler import truncate_after_tokens
+
+        img_size = self.cfg.vision.image_size
+        b = self.max_batch                      # fixed shape → one compile
+        rows, pixels = [], []
+        for s in slots:
+            req = s["request"]
+            prompt = build_prompt(req.get("prompt", ""))
+            rows.append(np.asarray(tokenizer_image_token(
+                prompt, self.tokenizer), np.int64))
+            img_b64 = req.get("image_b64")
+            if img_b64:
+                from PIL import Image
+                img = Image.open(io.BytesIO(base64.b64decode(img_b64)))
+            else:
+                from PIL import Image
+                img = Image.new("RGB", (img_size, img_size))
+            pixels.append(clip_preprocess(img, size=img_size))
+
+        longest = max(len(r) for r in rows)
+        qlen = max(128, -(-longest // 64) * 64)
+        queries = np.zeros((b, qlen), np.int64)
+        mask = np.zeros((b, qlen), np.int64)
+        for i, r in enumerate(rows):
+            r = r[-qlen:]
+            queries[i, -len(r):] = r
+            mask[i, -len(r):] = 1
+        images = np.zeros((b, img_size, img_size, 3), np.float32)
+        images[:len(pixels)] = np.stack(pixels)
+
+        self.rng, sub = jax.random.split(self.rng)
+        t0 = time.time()
+        tokens = np.asarray(self.sampler.generate(
+            self.params, jnp.asarray(queries), jnp.asarray(mask),
+            jnp.asarray(images), sub, lora=self.lora))
+        tokens = truncate_after_tokens(tokens, self.tokenizer.eos_token_id,
+                                       self.tokenizer.pad_token_id)
+        texts = self.tokenizer.batch_decode(tokens,
+                                            skip_special_tokens=True)
+        dt = time.time() - t0
+        for i, s in enumerate(slots):
+            s["response"] = {"text": texts[i].strip(),
+                             "latency_s": round(dt, 3),
+                             "batch_size": len(slots)}
+            s["done"].set()
+
+
+def make_handler(worker: InferenceWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/generate":
+                self._send(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(length))
+                resp = worker.submit(req)
+                self._send(200 if "error" not in resp else 500, resp)
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
+    return Handler
+
+
+def main():
+    p = argparse.ArgumentParser(description="LLaVA TPU inference server")
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--vision-path", default=None)
+    p.add_argument("--adapter-path", default=None)
+    p.add_argument("--port", type=int, default=8400)
+    p.add_argument("--bits", type=int, default=16, choices=(16, 8))
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-new-tokens", type=int, default=512)
+    args = p.parse_args()
+
+    from opadpo_tpu.models.loader import load_peft_adapter
+    from opadpo_tpu.pipeline.runtime import load_tokenizer, setup_model
+
+    cfg, params, _ = setup_model(args.model_path,
+                                 vision_dir=args.vision_path,
+                                 bits=args.bits)
+    tokenizer = load_tokenizer(args.model_path)
+    lora, scaling = None, 1.0
+    if args.adapter_path:
+        import os
+        lora = load_peft_adapter(args.adapter_path, cfg.llama)
+        acfg = json.load(open(os.path.join(args.adapter_path,
+                                           "adapter_config.json")))
+        scaling = acfg["lora_alpha"] / acfg["r"]
+
+    worker = InferenceWorker(params, cfg, tokenizer, lora=lora,
+                             lora_scaling=scaling,
+                             max_batch=args.max_batch,
+                             max_new_tokens=args.max_new_tokens)
+    server = ThreadingHTTPServer(("0.0.0.0", args.port),
+                                 make_handler(worker))
+    print(f"serving on :{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Serving path: worker micro-batching + HTTP round trip (tiny model)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+from PIL import Image
+
+from opadpo_tpu.models import llava as llava_model
+from opadpo_tpu.models.llava import LlavaConfig
+from opadpo_tpu.serve import InferenceWorker, make_handler
+from tests.fake_tokenizer import FakeTokenizer
+
+CFG = LlavaConfig.tiny()
+PARAMS = llava_model.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def _png_b64():
+    img = Image.fromarray(np.zeros((24, 24, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_worker_and_http_roundtrip():
+    worker = InferenceWorker(PARAMS, CFG, FakeTokenizer(), max_batch=2,
+                             max_new_tokens=4)
+    resp = worker.submit({"prompt": "what is this?",
+                          "image_b64": _png_b64()})
+    assert "text" in resp and "error" not in resp
+
+    from http.server import ThreadingHTTPServer
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz") as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+    body = json.dumps({"prompt": "hi", "image_b64": _png_b64()}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/generate", data=body,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert "text" in out
+    server.shutdown()
