@@ -127,16 +127,63 @@ def decode_loop(
     return state[-1]
 
 
+def decode_loop_split(
+    params: dict,
+    cfg: LlavaConfig,
+    prompt_kv: dict,
+    prompt_mask: jax.Array,       # [B, Sp]
+    positions: jax.Array,         # [B] position of the first new token
+    last_logits: jax.Array,       # [B, V] prefill logits
+    rng: jax.Array,
+    sampling: SamplingConfig,
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+) -> jax.Array:
+    """Decode over the split cache: the prompt KV is a loop CONSTANT and
+    only the [max_new_tokens] suffix buffer is carried — the program the
+    compile service actually handles (see llama.decode_forward_split)."""
+    from opadpo_tpu.models import llama as llama_model
+
+    b = prompt_mask.shape[0]
+    eos = sampling.eos_token_id
+    pad = sampling.pad_token_id
+    suffix0 = llama_model.init_suffix_cache(cfg.llama, b,
+                                            sampling.max_new_tokens)
+
+    def cond(state):
+        step = state[0]
+        done = state[-2]
+        return jnp.logical_and(step < sampling.max_new_tokens,
+                               jnp.logical_not(jnp.all(done)))
+
+    def body(state):
+        step, rng, suffix, positions, last_logits, done, out = state
+        rng, sub = jax.random.split(rng)
+        tok = sample_tokens(sub, last_logits, sampling)
+        tok = jnp.where(done, pad, tok)
+        out = out.at[:, step].set(tok)
+        done = jnp.logical_or(done, tok == eos)
+        logits, suffix = llava_model.decode_step_split(
+            params, cfg, tok, prompt_kv, prompt_mask, suffix, step,
+            positions, lora=lora, lora_scaling=lora_scaling)
+        return (step + 1, rng, suffix, positions + 1, logits, done, out)
+
+    out0 = jnp.full((b, sampling.max_new_tokens), pad, jnp.int32)
+    state = (jnp.zeros((), jnp.int32), rng, suffix0, positions,
+             last_logits, jnp.zeros((b,), bool), out0)
+    return jax.lax.while_loop(cond, body, state)[-1]
+
+
 class Sampler:
     """Production sampler: prefill and the decode loop are compiled as TWO
-    separate programs.
+    separate programs, and decode uses the split cache.
 
-    A single jitted prefill+decode program at 7B crashes the TPU compile
-    service (observed: tpu_compile_helper exit 1 over the device tunnel)
-    and holds peak memory for both phases simultaneously; splitting keeps
-    each program small and lets the decode loop donate the KV cache.
-    ``generate()`` above remains the single-program path used by the tiny
-    CPU tests.
+    A single jitted prefill+decode program at 7B exceeds HBM (both phases'
+    peaks coexist) and the monolithic-cache decode loop takes the remote
+    compile service >10 min or kills it; the split design compiles each
+    phase quickly and carries only the small suffix buffer through the
+    loop.  ``generate()`` above remains the single-program path used by
+    the tiny CPU tests.
     """
 
     def __init__(self, cfg: LlavaConfig, sampling: SamplingConfig,
@@ -147,32 +194,31 @@ class Sampler:
         self._prefill_fn = {}
         self._decode_fn = {}
 
-    def _get_prefill(self, cache_len: int):
-        if cache_len not in self._prefill_fn:
-            self._prefill_fn[cache_len] = jax.jit(
+    def _get_prefill(self, s_prompt: int):
+        if s_prompt not in self._prefill_fn:
+            self._prefill_fn[s_prompt] = jax.jit(
                 lambda p, lo, q, m, im: llava_model.prefill(
-                    p, self.cfg, q, m, im, cache_len, lora=lo,
+                    p, self.cfg, q, m, im, s_prompt, lora=lo,
                     lora_scaling=self.lora_scaling))
-        return self._prefill_fn[cache_len]
+        return self._prefill_fn[s_prompt]
 
     def _get_decode(self, s_prompt: int):
         if s_prompt not in self._decode_fn:
             self._decode_fn[s_prompt] = jax.jit(
-                lambda p, lo, c, km, pos, ll, r: decode_loop(
-                    p, self.cfg, c, km, pos, ll, r, self.sampling,
-                    s_prompt, lora=lo, lora_scaling=self.lora_scaling),
-                donate_argnums=(2,))          # cache updated in place
+                lambda p, lo, pk, pm, pos, ll, r: decode_loop_split(
+                    p, self.cfg, pk, pm, pos, ll, r, self.sampling,
+                    lora=lo, lora_scaling=self.lora_scaling))
         return self._decode_fn[s_prompt]
 
     def generate(self, params, input_ids, text_mask, images, rng,
                  lora: Optional[dict] = None) -> jax.Array:
         b, l = input_ids.shape
         s_prompt = l - 1 + self.cfg.num_patches
-        cache_len = s_prompt + self.sampling.max_new_tokens
-        pf = self._get_prefill(cache_len)(params, lora, input_ids,
-                                          text_mask, images)
+        pf = self._get_prefill(s_prompt)(params, lora, input_ids,
+                                         text_mask, images)
+        prompt_kv = {"k": pf["cache"]["k"], "v": pf["cache"]["v"]}
         return self._get_decode(s_prompt)(
-            params, lora, pf["cache"], pf["key_mask"], pf["next_position"],
+            params, lora, prompt_kv, pf["key_mask"], pf["next_position"],
             pf["last_logits"], rng)
 
 

@@ -160,10 +160,21 @@ def _attention_block(x, lp, ll, cfg, lora_scaling, key_mask, positions,
                                     impl=attn_impl)
     else:
         k_cache, v_cache = cache_kv
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
+        if s == 1:
+            # decode: one-hot select instead of dynamic_update_slice — a
+            # scatter at a loop-carried index inside while_loop×scan blows
+            # up the TPU compile service (measured: 10-min compiles /
+            # helper crashes); the select lowers to cheap vector ops
+            slen = k_cache.shape[1]
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (slen,), 0)
+                      == cache_index)[None, :, None, None]
+            k_cache = jnp.where(onehot, k.astype(k_cache.dtype), k_cache)
+            v_cache = jnp.where(onehot, v.astype(v_cache.dtype), v_cache)
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
         new_cache = (k_cache, v_cache)
         kk, vv = k_cache, v_cache
         if nkv != nh:
@@ -276,3 +287,118 @@ def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
     """Token embedding lookup; ids < 0 (IMAGE_TOKEN_INDEX/pads) map to 0."""
     safe = jnp.where(input_ids < 0, 0, input_ids)
     return params["embed"][safe]
+
+
+# ---------------------------------------------------------------------------
+# Split-KV decode: immutable prompt cache + small mutable suffix buffer
+# ---------------------------------------------------------------------------
+#
+# A single [cache_len] KV cache carried through the decode while_loop makes
+# the whole 1.6 GB cache a mutated loop carry — the TPU compile service
+# takes 10+ minutes (or dies) on the scatter-inside-scan-inside-while
+# program, and HBM must hold two copies.  Splitting the cache into the
+# prompt part (written once by prefill, then a LOOP CONSTANT) and a
+# [max_new_tokens] suffix buffer (the only mutable carry, ~2% the size)
+# compiles in seconds and halves cache memory pressure.
+
+def init_suffix_cache(cfg: LlamaConfig, batch: int, max_new: int) -> dict:
+    shape = (cfg.num_layers, batch, max_new, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+
+
+def decode_forward_split(
+    params: dict,
+    cfg: LlamaConfig,
+    embeds: jax.Array,            # [B, 1, D]
+    prompt_kv: dict,              # {"k","v"} [L, B, Sp, H, hd] (read-only)
+    prompt_mask: jax.Array,       # [B, Sp]
+    suffix_kv: dict,              # {"k","v"} [L, B, Nmax, H, hd] (carry)
+    step: jax.Array,              # scalar: index into the suffix buffer
+    positions: jax.Array,         # [B] RoPE position of the new token
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+) -> Tuple[jax.Array, dict]:
+    """One-token decode over the split cache → (logits [B, V], suffix_kv)."""
+    b = embeds.shape[0]
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    n_max = suffix_kv["k"].shape[2]
+    cos, sin = rope_frequencies(cfg.head_dim,
+                                int(cfg.max_position_embeddings),
+                                cfg.rope_base, dtype=jnp.float32)
+    scale = hd ** -0.5
+    # suffix validity: slots 0..step inclusive (the new token attends to
+    # itself)
+    suf_valid = (jax.lax.broadcasted_iota(jnp.int32, (n_max,), 0)
+                 <= step)[None, None, :]                     # [1, 1, Nmax]
+    pm = (prompt_mask != 0)[:, None, :]                      # [B, 1, Sp]
+
+    lora_layers = tree_get(lora, "layers")
+    has_lora = lora_layers is not None
+    layers = params["layers"]
+
+    def layer_core(x, lp, ll, pk, pv, sk, sv):
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        q = lora_dense(h, lp["wq"], tree_get(ll, "wq"), lora_scaling)
+        k = lora_dense(h, lp["wk"], tree_get(ll, "wk"), lora_scaling)
+        v = lora_dense(h, lp["wv"], tree_get(ll, "wv"), lora_scaling)
+        q = q.reshape(b, 1, nh, hd)
+        k = k.reshape(b, 1, nkv, hd)
+        v = v.reshape(b, 1, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin, positions[:, None])
+
+        # write into the small suffix buffer at `step`
+        sk = jax.lax.dynamic_update_slice(sk, k.astype(sk.dtype),
+                                          (0, step, 0, 0))
+        sv = jax.lax.dynamic_update_slice(sv, v.astype(sv.dtype),
+                                          (0, step, 0, 0))
+
+        qh = q[:, 0]                                         # [B, H, hd]
+        # scores over prompt (constant) and suffix (small) pieces
+        sp_scores = jnp.einsum("bhd,bshd->bhs", qh, pk,
+                               preferred_element_type=jnp.float32) * scale
+        ss_scores = jnp.einsum("bhd,bshd->bhs", qh, sk,
+                               preferred_element_type=jnp.float32) * scale
+        sp_scores = jnp.where(pm, sp_scores, -1e30)
+        ss_scores = jnp.where(suf_valid, ss_scores, -1e30)
+        scores = jnp.concatenate([sp_scores, ss_scores], axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1)
+        sp_n = pk.shape[1]
+        out = (jnp.einsum("bhs,bshd->bhd",
+                          probs[..., :sp_n].astype(pv.dtype), pv,
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bhs,bshd->bhd",
+                            probs[..., sp_n:].astype(sv.dtype), sv,
+                            preferred_element_type=jnp.float32))
+        attn = out.reshape(b, 1, nh * hd).astype(x.dtype)
+        x = x + lora_dense(attn, lp["wo"], tree_get(ll, "wo"), lora_scaling)
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        x = x + _mlp_block(h, lp, ll, lora_scaling)
+        return x, (sk, sv)
+
+    if has_lora:
+        xs = (layers, lora_layers, prompt_kv["k"], prompt_kv["v"],
+              suffix_kv["k"], suffix_kv["v"])
+
+        def body(x, sc):
+            lp, ll, pk, pv, sk, sv = sc
+            return layer_core(x, lp, ll, pk, pv, sk, sv)
+    else:
+        xs = (layers, prompt_kv["k"], prompt_kv["v"],
+              suffix_kv["k"], suffix_kv["v"])
+
+        def body(x, sc):
+            lp, pk, pv, sk, sv = sc
+            return layer_core(x, lp, None, pk, pv, sk, sv)
+
+    x, new_suffix = jax.lax.scan(body, embeds, xs)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = jnp.einsum("bsd,dv->bsv", x, params["lm_head"],
+                        preferred_element_type=jnp.float32)[:, 0]
+    head_lora = tree_get(lora, "lm_head")
+    if head_lora is not None:
+        xa = jnp.einsum("bsd,dr->bsr", x, head_lora["a"],
+                        preferred_element_type=jnp.float32)
+        logits = logits + jnp.einsum(
+            "bsr,rv->bsv", xa.astype(head_lora["b"].dtype), head_lora["b"],
+            preferred_element_type=jnp.float32)[:, 0] * lora_scaling
+    return logits, {"k": new_suffix[0], "v": new_suffix[1]}

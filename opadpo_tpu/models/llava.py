@@ -263,6 +263,26 @@ def decode_step(
     return logits[:, 0, :], cache
 
 
+def decode_step_split(
+    params: dict,
+    cfg: LlavaConfig,
+    token_ids: jax.Array,       # [B]
+    prompt_kv: dict,
+    prompt_mask: jax.Array,     # [B, Sp]
+    suffix_kv: dict,
+    step: jax.Array,
+    positions: jax.Array,       # [B]
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+) -> Tuple[jax.Array, dict]:
+    """Split-cache one-token decode (see llama.decode_forward_split)."""
+    embeds = llama_model.embed_tokens(params["llama"], token_ids[:, None])
+    return llama_model.decode_forward_split(
+        params["llama"], cfg.llama, embeds, prompt_kv, prompt_mask,
+        suffix_kv, step, positions, lora=tree_get(lora, "llama"),
+        lora_scaling=lora_scaling)
+
+
 class LlavaModel:
     """Thin OO wrapper bundling config + functional API (keeps call sites
     close to the reference's model object without hiding the pytrees)."""

@@ -125,11 +125,15 @@ def quant_matmul(
 
 
 def q8_dense(x: jax.Array, wq: dict) -> jax.Array:
-    """[..., in] @ quantized [in, out], any leading dims."""
+    """[..., in] @ quantized [in, out], any leading dims.
+
+    Small-M inputs (decode: M = batch) are padded up to the 8-sublane
+    minimum — int8 weight streaming halves HBM traffic, which is the
+    whole cost of bandwidth-bound decode."""
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
-    if jax.default_backend() == "tpu" and x2.shape[0] >= 8:
+    if jax.default_backend() == "tpu":
         y = quant_matmul(x2, wq)
     else:
         y = jnp.einsum("mk,kn->mn", x2.astype(jnp.float32),
