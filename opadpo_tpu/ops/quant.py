@@ -124,8 +124,109 @@ def quant_matmul(
     return out[0, :m, :n]
 
 
+def _q8_matmul_t_kernel(g_ref, q_ref, o_ref, acc_scr, *, nn):
+    """dx[bm, bk] += g_scaled[bm, bn] @ q[bk, bn]^T, N-blocked."""
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    g_blk = g_ref[0]                          # [bm, bn] (already × scale)
+    q_blk = q_ref[0]                          # [bk, bn] int8
+    acc_scr[:] += jax.lax.dot_general(
+        g_blk, q_blk.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kk == nn - 1)
+    def _():
+        o_ref[0] = acc_scr[:].astype(o_ref.dtype)
+
+
+def quant_matmul_transposed(
+    g: jax.Array,        # [M, N] cotangent
+    wq: dict,            # {"q": [K, N] int8, "scale": [1, N]}
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    out_dtype=None,
+) -> jax.Array:
+    """g @ dequant(wq)^T → [M, K] (int8 streamed, dequant in VMEM)."""
+    q, scale = wq["q"], wq["scale"]
+    m, n = g.shape
+    k, n2 = q.shape
+    assert n == n2
+    out_dtype = out_dtype or g.dtype
+
+    # fold the per-output-channel scale into g's columns
+    gs = (g.astype(jnp.float32) * scale.reshape(1, n)).astype(jnp.bfloat16)
+
+    mp = _round_up(m, 8)
+    np_ = _round_up(n, block_n)
+    kp = _round_up(k, block_k)
+    bm = min(block_m, mp)
+    gp = jnp.pad(gs, ((0, mp - m), (0, np_ - n)))[None]
+    qp = jnp.pad(q, ((0, kp - k), (0, np_ - n)))[None]
+    nn = np_ // block_n
+    out = pl.pallas_call(
+        functools.partial(_q8_matmul_t_kernel, nn=nn),
+        grid=(_cdiv(mp, bm), kp // block_k, nn),
+        in_specs=[
+            pl.BlockSpec((1, bm, block_n), lambda i, j, kk: (0, i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, block_n), lambda i, j, kk: (0, j, kk),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bm, block_k), lambda i, j, kk: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, mp, kp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, block_k), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(gp, qp)
+    return out[0, :m, :k]
+
+
+def _q8_dense_2d(x2: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
+    wq = {"q": q, "scale": scale}
+    if jax.default_backend() == "tpu":
+        return quant_matmul(x2, wq)
+    return jnp.einsum("mk,kn->mn", x2.astype(jnp.float32),
+                      q.astype(jnp.float32) * scale,
+                      preferred_element_type=jnp.float32).astype(x2.dtype)
+
+
+@jax.custom_vjp
+def _q8_dense_vjp(x2, q, scale):
+    return _q8_dense_2d(x2, q, scale)
+
+
+def _q8_dense_fwd(x2, q, scale):
+    return _q8_dense_2d(x2, q, scale), (q, scale)
+
+
+def _q8_dense_bwd(res, g):
+    """Gradient flows THROUGH the frozen int8 weight (QLoRA training:
+    upstream LoRA layers need dx); the weight itself gets a float0/zero
+    cotangent — it is never trained."""
+    q, scale = res
+    if jax.default_backend() == "tpu":
+        dx = quant_matmul_transposed(g, {"q": q, "scale": scale})
+    else:
+        w = q.astype(jnp.float32) * scale
+        dx = jnp.einsum("mn,kn->mk", g.astype(jnp.float32), w
+                        ).astype(g.dtype)
+    import numpy as _np
+    dq = _np.zeros(q.shape, dtype=jax.dtypes.float0)
+    return dx, dq, jnp.zeros_like(scale)
+
+
+_q8_dense_vjp.defvjp(_q8_dense_fwd, _q8_dense_bwd)
+
+
 def q8_dense(x: jax.Array, wq: dict) -> jax.Array:
-    """[..., in] @ quantized [in, out], any leading dims.
+    """[..., in] @ quantized [in, out], any leading dims, differentiable
+    w.r.t. x (frozen weight).
 
     Small-M inputs (decode: M = batch) are padded up to the 8-sublane
     minimum — int8 weight streaming halves HBM traffic, which is the
@@ -133,12 +234,7 @@ def q8_dense(x: jax.Array, wq: dict) -> jax.Array:
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
-    if jax.default_backend() == "tpu":
-        y = quant_matmul(x2, wq)
-    else:
-        y = jnp.einsum("mk,kn->mn", x2.astype(jnp.float32),
-                       wq["q"].astype(jnp.float32) * wq["scale"],
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+    y = _q8_dense_vjp(x2, wq["q"], wq["scale"])
     return y.reshape(*lead, -1)
 
 

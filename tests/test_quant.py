@@ -81,3 +81,55 @@ def test_quantized_llava_forward_close_to_bf16():
     out_lp = jax.nn.log_softmax(out["logits"], axis=-1)
     # int8 base: logprob drift stays small
     assert float(jnp.mean(jnp.abs(ref_lp - out_lp))) < 0.1
+
+
+def test_q8_dense_gradient_flows_through():
+    rng = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(rng)
+    x = jax.random.normal(k1, (8, 64), jnp.float32)
+    w = jax.random.normal(k2, (64, 32), jnp.float32) * 0.1
+    wq = quantize_weight(w)
+    w_deq = dequantize_weight(wq, jnp.float32)
+
+    def loss_q(x):
+        return jnp.sum(q8_dense(x, wq) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum((x @ w_deq) ** 2)
+
+    gq = jax.grad(loss_q)(x)
+    gr = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gr),
+                               atol=1e-2, rtol=1e-2)
+
+
+def test_qlora_dpo_train_step_on_int8_base():
+    """QLoRA configuration end-to-end: frozen int8 base + bf16 LoRA
+    through the DPO train step."""
+    from opadpo_tpu.engine.dpo import DpoConfig, dpo_train_step, rollout_score
+    from opadpo_tpu.engine.train_state import (
+        OptimizerConfig, TrainState, make_optimizer,
+    )
+    from opadpo_tpu.models.lora import LoraConfig
+    from tests.test_dpo_engine import _make_batch
+
+    lora_cfg = LoraConfig(rank=4, alpha=8.0)
+    dpo = DpoConfig(response_len=8, query_len=6,
+                    lora_scaling=lora_cfg.scaling, CoPO=False, AncPO=False,
+                    detailed_report=False, response_score=False,
+                    response_image_relation=False)
+    params = llava_model.init_params(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_params(params)
+    batch = _make_batch()
+    ref_lora = llava_model.init_lora(jax.random.PRNGKey(1), CFG, lora_cfg)
+    rollouts = rollout_score(qparams, CFG, dpo, ref_lora, batch,
+                             jax.random.PRNGKey(2))
+    full_batch = {**batch, **rollouts}
+    lora0 = llava_model.init_lora(jax.random.PRNGKey(3), CFG, lora_cfg)
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-3, warmup_steps=0,
+                                        total_steps=4))
+    state = TrainState.create(lora0, tx)
+    new_state, stats = dpo_train_step(state, qparams, full_batch, tx, CFG,
+                                      dpo)
+    assert np.isfinite(float(stats["loss/total"]))
+    assert float(stats["loss/grad_norm"]) > 0
