@@ -113,6 +113,79 @@ def init_lora(key: jax.Array, cfg: LlamaConfig, lora_cfg: LoraConfig) -> dict:
     }
 
 
+def _base_dense(x, w):
+    """Base (lora-less) dense for plain or int8-quantized weights."""
+    from opadpo_tpu.models.lora import lora_dense
+    return lora_dense(x, w, None, 1.0)
+
+
+def _lora_delta(x, entry, scaling):
+    if entry is None:
+        return 0.0
+    xa = jnp.einsum("...i,ir->...r", x, entry["a"],
+                    preferred_element_type=jnp.float32)
+    return (jnp.einsum("...r,ro->...o", xa.astype(entry["b"].dtype),
+                       entry["b"], preferred_element_type=jnp.float32)
+            * scaling)
+
+
+def _qkv_proj(x, lp, ll, cfg, lora_scaling):
+    """q/k/v projections — one fused matmul when the params carry
+    ``w_qkv`` (see fuse_for_inference), else three.  LoRA deltas stay
+    per-projection (their A factors differ)."""
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if "w_qkv" in lp:
+        qkv = _base_dense(x, lp["w_qkv"]).astype(jnp.float32)
+        q = qkv[..., :nh * hd]
+        k = qkv[..., nh * hd:(nh + nkv) * hd]
+        v = qkv[..., (nh + nkv) * hd:]
+    else:
+        q = _base_dense(x, lp["wq"]).astype(jnp.float32)
+        k = _base_dense(x, lp["wk"]).astype(jnp.float32)
+        v = _base_dense(x, lp["wv"]).astype(jnp.float32)
+    if ll is not None:
+        q = q + _lora_delta(x, tree_get(ll, "wq"), lora_scaling)
+        k = k + _lora_delta(x, tree_get(ll, "wk"), lora_scaling)
+        v = v + _lora_delta(x, tree_get(ll, "wv"), lora_scaling)
+    return q.astype(x.dtype), k.astype(x.dtype), v.astype(x.dtype)
+
+
+def _gate_up_proj(x, lp, ll, cfg, lora_scaling):
+    if "w_gate_up" in lp:
+        i = cfg.intermediate_size
+        gu = _base_dense(x, lp["w_gate_up"]).astype(jnp.float32)
+        gate, up = gu[..., :i], gu[..., i:]
+    else:
+        gate = _base_dense(x, lp["w_gate"]).astype(jnp.float32)
+        up = _base_dense(x, lp["w_up"]).astype(jnp.float32)
+    if ll is not None:
+        gate = gate + _lora_delta(x, tree_get(ll, "w_gate"), lora_scaling)
+        up = up + _lora_delta(x, tree_get(ll, "w_up"), lora_scaling)
+    return gate.astype(x.dtype), up.astype(x.dtype)
+
+
+def _concat_weights(ws):
+    """Concat plain or quantized weights along the output dim."""
+    if isinstance(ws[0], dict):
+        return {"q": jnp.concatenate([w["q"] for w in ws], axis=-1),
+                "scale": jnp.concatenate([w["scale"] for w in ws], axis=-1)}
+    return jnp.concatenate(ws, axis=-1)
+
+
+def fuse_for_inference(params: dict) -> dict:
+    """Fuse wq/wk/wv → w_qkv and w_gate/w_up → w_gate_up (fewer, larger
+    matmuls — bandwidth-bound decode pays per-kernel overhead 7x per
+    layer otherwise).  Works on plain and int8-quantized layouts; the
+    original per-projection entries are dropped (no memory duplication).
+    All forward paths accept either layout."""
+    layers = dict(params["layers"])
+    layers["w_qkv"] = _concat_weights([layers.pop("wq"), layers.pop("wk"),
+                                       layers.pop("wv")])
+    layers["w_gate_up"] = _concat_weights([layers.pop("w_gate"),
+                                           layers.pop("w_up")])
+    return {**params, "layers": layers}
+
+
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
@@ -142,9 +215,7 @@ def _attention_block(x, lp, ll, cfg, lora_scaling, key_mask, positions,
     b, s, d = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    q = lora_dense(x, lp["wq"], tree_get(ll, "wq"), lora_scaling)
-    k = lora_dense(x, lp["wk"], tree_get(ll, "wk"), lora_scaling)
-    v = lora_dense(x, lp["wv"], tree_get(ll, "wv"), lora_scaling)
+    q, k, v = _qkv_proj(x, lp, ll, cfg, lora_scaling)
     q = q.reshape(b, s, nh, hd)
     k = k.reshape(b, s, nkv, hd)
     v = v.reshape(b, s, nkv, hd)
@@ -194,9 +265,8 @@ def _attention_block(x, lp, ll, cfg, lora_scaling, key_mask, positions,
     return out, new_cache
 
 
-def _mlp_block(x, lp, ll, lora_scaling):
-    gate = lora_dense(x, lp["w_gate"], tree_get(ll, "w_gate"), lora_scaling)
-    up = lora_dense(x, lp["w_up"], tree_get(ll, "w_up"), lora_scaling)
+def _mlp_block(x, lp, ll, lora_scaling, cfg):
+    gate, up = _gate_up_proj(x, lp, ll, cfg, lora_scaling)
     h = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     return lora_dense(h, lp["w_down"], tree_get(ll, "w_down"), lora_scaling)
 
@@ -232,7 +302,7 @@ def forward(
             cache_kv=ck, cache_index=cache_index, attn_impl=attn_impl)
         x = x + attn_out
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        x = x + _mlp_block(h, lp, ll, lora_scaling)
+        x = x + _mlp_block(h, lp, ll, lora_scaling, cfg)
         return x, new_ck
 
     has_lora = lora_layers is not None
@@ -338,9 +408,7 @@ def decode_forward_split(
 
     def layer_core(x, lp, ll, pk, pv, sk, sv):
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        q = lora_dense(h, lp["wq"], tree_get(ll, "wq"), lora_scaling)
-        k = lora_dense(h, lp["wk"], tree_get(ll, "wk"), lora_scaling)
-        v = lora_dense(h, lp["wv"], tree_get(ll, "wv"), lora_scaling)
+        q, k, v = _qkv_proj(h, lp, ll, cfg, lora_scaling)
         q = q.reshape(b, 1, nh, hd)
         k = k.reshape(b, 1, nkv, hd)
         v = v.reshape(b, 1, nkv, hd)
@@ -372,7 +440,7 @@ def decode_forward_split(
         attn = out.reshape(b, 1, nh * hd).astype(x.dtype)
         x = x + lora_dense(attn, lp["wo"], tree_get(ll, "wo"), lora_scaling)
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        x = x + _mlp_block(h, lp, ll, lora_scaling)
+        x = x + _mlp_block(h, lp, ll, lora_scaling, cfg)
         return x, (sk, sv)
 
     if has_lora:

@@ -133,3 +133,31 @@ def test_qlora_dpo_train_step_on_int8_base():
                                       dpo)
     assert np.isfinite(float(stats["loss/total"]))
     assert float(stats["loss/grad_norm"]) > 0
+
+
+def test_fused_layout_matches_unfused():
+    from opadpo_tpu.models.llama import fuse_for_inference
+    params = llava_model.init_params(jax.random.PRNGKey(0), CFG)
+    fused = {**params, "llama": fuse_for_inference(params["llama"])}
+    assert "w_qkv" in fused["llama"]["layers"]
+    assert "wq" not in fused["llama"]["layers"]
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    b, l = 2, 10
+    ids = jax.random.randint(k1, (b, l), 5, CFG.llama.vocab_size)
+    ids = ids.at[:, 2].set(IMAGE_TOKEN_INDEX)
+    mask = jnp.ones((b, l), jnp.int32)
+    sz = CFG.vision.image_size
+    images = jax.random.normal(k2, (b, sz, sz, 3))
+
+    ref = llava_model.forward(params, CFG, ids, mask, images, remat=False)
+    out = llava_model.forward(fused, CFG, ids, mask, images, remat=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               atol=2e-2, rtol=2e-2)
+
+    # fused + quantized layout
+    qfused = {**quantize_params(params),
+              "llama": fuse_for_inference(quantize_params(params)["llama"])}
+    out_q = llava_model.forward(qfused, CFG, ids, mask, images, remat=False)
+    assert np.isfinite(np.asarray(out_q["logits"])).all()
