@@ -117,3 +117,44 @@ def test_amber_noun_extraction_fallback():
     vocab = {"dog", "cat", "tree"}
     nouns = extract_nouns("Two dogs chase the cats around trees.", vocab)
     assert set(nouns) >= {"dog", "cat", "tree"}
+
+
+def test_science_prompt_and_scoring(tmp_path):
+    from opadpo_tpu.eval.model_vqa_science import (
+        build_science_prompt, parse_answer_letter, score_science,
+    )
+    item = {"question": "What is H2O?", "hint": "Think chemistry.",
+            "choices": ["water", "salt"], "answer": 0}
+    prompt = build_science_prompt(item)
+    assert "Context: Think chemistry." in prompt
+    assert "(A) water" in prompt and "(B) salt" in prompt
+    assert parse_answer_letter("The answer is B.") == "B"
+    assert parse_answer_letter("A") == "A"
+    assert parse_answer_letter("no letter here") == ""
+
+    questions = [{"question_id": 1, "answer_idx": 0},
+                 {"question_id": 2, "answer_idx": 1}]
+    af = tmp_path / "ans.jsonl"
+    af.write_text('{"question_id": 1, "text": "A"}\n'
+                  '{"question_id": 2, "text": "A"}\n')
+    out = score_science(str(af), questions)
+    assert out == {"accuracy": 50.0, "num_questions": 2}
+
+
+def test_text_qa_sampler_tiny():
+    import jax
+    import jax.numpy as jnp
+    from opadpo_tpu.engine.sampling import SamplingConfig
+    from opadpo_tpu.eval.model_qa import TextSampler
+    from opadpo_tpu.models import llava as llava_model
+    from opadpo_tpu.models.llava import LlavaConfig
+
+    cfg = LlavaConfig.tiny()
+    params = llava_model.init_params(jax.random.PRNGKey(0), cfg)
+    sampler = TextSampler(cfg.llama, SamplingConfig(
+        greedy=True, max_new_tokens=4, eos_token_id=-1))
+    ids = jnp.ones((2, 8), jnp.int32) * 7
+    mask = jnp.ones((2, 8), jnp.int32)
+    out = sampler.generate(params, ids, mask, jax.random.PRNGKey(0))
+    assert out.shape == (2, 4)
+    assert (np.asarray(out) >= 0).all()
