@@ -161,6 +161,31 @@ def projector_params_from_state(state: Dict[str, np.ndarray],
     }
 
 
+def resize_token_embeddings_with_mean(params: dict, new_vocab: int) -> dict:
+    """Grow embed/lm_head to ``new_vocab``, initializing new rows with the
+    mean of existing embeddings — the reference's patched
+    ``resize_token_embeddings_with_mean`` (import at opadpo_train.py:46)."""
+    import jax.numpy as jnp
+    embed = params["llama"]["embed"]
+    old_vocab = embed.shape[0]
+    if new_vocab <= old_vocab:
+        return params
+    n_new = new_vocab - old_vocab
+    mean_emb = jnp.mean(embed.astype(jnp.float32), axis=0, keepdims=True)
+    new_embed = jnp.concatenate(
+        [embed, jnp.broadcast_to(mean_emb, (n_new, embed.shape[1])
+                                 ).astype(embed.dtype)], axis=0)
+    head = params["llama"]["lm_head"]                 # [D, V]
+    mean_head = jnp.mean(head.astype(jnp.float32), axis=1, keepdims=True)
+    new_head = jnp.concatenate(
+        [head, jnp.broadcast_to(mean_head, (head.shape[0], n_new)
+                                ).astype(head.dtype)], axis=1)
+    out = dict(params)
+    out["llama"] = {**params["llama"], "embed": new_embed,
+                    "lm_head": new_head}
+    return out
+
+
 def load_llava_checkpoint(
     model_dir: str,
     cfg: LlavaConfig,

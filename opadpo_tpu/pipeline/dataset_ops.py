@@ -159,6 +159,19 @@ def build_online_generation_subsets(source_dataset_path: str, out_dir: str,
     print(f"wrote {num_subsets} subsets of {subset_size} to {out_dir}")
 
 
+def patch_model_config(model_dir: str, image_checkpoint: str) -> None:
+    """Point a base checkpoint's config at a local CLIP tower (reference
+    base_operations/modify_base_model_config.py:2-19)."""
+    path = os.path.join(model_dir, "config.json")
+    with open(path) as f:
+        cfg = json.load(f)
+    cfg["mm_vision_tower"] = image_checkpoint
+    cfg["image_checkpoint"] = image_checkpoint
+    with open(path, "w") as f:
+        json.dump(cfg, f, indent=2)
+    print(f"patched {path} → vision tower {image_checkpoint}")
+
+
 def main():
     import argparse
     p = argparse.ArgumentParser(description="dataset construction")
@@ -172,10 +185,15 @@ def main():
     gen.add_argument("--out-dir", required=True)
     gen.add_argument("--num-subsets", type=int, default=4)
     gen.add_argument("--subset-size", type=int, default=2500)
+    pc = sub.add_parser("patch-model-config")
+    pc.add_argument("--model-dir", required=True)
+    pc.add_argument("--image-checkpoint", required=True)
     args = p.parse_args()
     if args.cmd == "make-opadpo":
         build_opadpo_datasets(args.rollout_dirs, args.opa_out,
                               args.opadpo_out)
+    elif args.cmd == "patch-model-config":
+        patch_model_config(args.model_dir, args.image_checkpoint)
     else:
         build_online_generation_subsets(args.source, args.out_dir,
                                         args.num_subsets, args.subset_size)

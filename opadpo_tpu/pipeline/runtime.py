@@ -21,6 +21,17 @@ from opadpo_tpu.models.llava import LlavaConfig
 from opadpo_tpu.parallel import MeshConfig, make_mesh
 
 
+def maybe_init_multihost() -> None:
+    """Multi-host SPMD init (the reference's rank→node torchrun derivation,
+    opadpo_train.py:725-727, becomes jax.distributed): activated when the
+    standard coordinator env vars are present."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+
+
 def enable_compilation_cache() -> None:
     """Persistent XLA compile cache (the 7B programs take minutes cold)."""
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -86,6 +97,7 @@ def setup_model(
     from opadpo_tpu.models.loader import load_llava_checkpoint
     from opadpo_tpu.parallel import param_partition_specs, shard_pytree
 
+    maybe_init_multihost()
     enable_compilation_cache()
     mesh = make_mesh(mesh_config)
     if mesh.shape.get("model", 1) > 1:
