@@ -37,6 +37,7 @@ from opadpo_tpu.pipeline.config import (
 from opadpo_tpu.pipeline.runtime import (
     StepTimer, device_put_batch, load_tokenizer, setup_model,
 )
+from opadpo_tpu.utils.metrics import MetricsLogger
 
 logger = logging.getLogger("opa_train")
 
@@ -118,7 +119,8 @@ def train(cfg: Config) -> None:
     save_steps = int(t.get("save_steps", 100))
     timer = StepTimer()
     rng = jax.random.PRNGKey(int(t.get("seed", 42)))
-    log_path = os.path.join(output_dir, "train_log.jsonl")
+    metrics = MetricsLogger(output_dir, run_name="opa",
+                            report_to=str(t.get("report_to", "jsonl")))
     micro_step = 0
 
     for epoch in range(epochs):
@@ -131,10 +133,10 @@ def train(cfg: Config) -> None:
             timer.record("sft_step", time.time() - t0,
                          tokens=int(batch["input_ids"].size))
             if micro_step % int(t.get("logging_steps", 10)) == 0:
-                line = {"epoch": epoch, "micro_step": micro_step,
-                        **{k: float(v) for k, v in stats.items()}}
-                with open(log_path, "a") as f:
-                    f.write(json.dumps(line) + "\n")
+                line = {"epoch": epoch,
+                        **{k: float(v) for k, v in stats.items()},
+                        "step_seconds": timer.history[-1]["seconds"]}
+                metrics.log(line, step=micro_step)
                 logger.info("epoch %d micro %d loss=%.4f", epoch, micro_step,
                             float(stats["loss/total"]))
             if micro_step % (save_steps * grad_accum) == 0:

@@ -42,8 +42,10 @@ from opadpo_tpu.pipeline.config import (
     Config, apply_overrides, load_config, save_config,
 )
 from opadpo_tpu.pipeline.runtime import (
-    StepTimer, device_put_batch, load_tokenizer, setup_model,
+    StepTimer, device_put_batch, load_tokenizer, maybe_start_profiler,
+    setup_model,
 )
+from opadpo_tpu.utils.metrics import MetricsLogger
 
 logger = logging.getLogger("opadpo_train")
 
@@ -192,7 +194,9 @@ def train(cfg: Config) -> None:
     rng = jax.random.PRNGKey(int(t.get("seed", 42)))
 
     step_rng = np.random.default_rng(int(t.get("seed", 42)))
-    log_path = os.path.join(output_dir, "train_log.jsonl")
+    metrics = MetricsLogger(output_dir, run_name="opadpo",
+                            report_to=str(t.get("report_to", "jsonl")))
+    profile_at = int(t.get("profile_start_step", 0))
 
     for step_idx in range(1, total_steps + 1):
         if step_idx < start_step:
@@ -229,12 +233,23 @@ def train(cfg: Config) -> None:
         timer.record("train", time.time() - t0)
 
         if stats:
-            line = {"step": step_idx,
-                    **{k: float(v) for k, v in stats.items()}}
-            with open(log_path, "a") as f:
-                f.write(json.dumps(line) + "\n")
+            line = {k: float(v) for k, v in stats.items()}
+            # rollout entropy means per response type (reference
+            # record_step_stats, dpo_trainer.py:804-835)
+            for key, val in rollouts_all.items():
+                if key.endswith("_entropies"):
+                    mask = val != 0.0
+                    denom = np.maximum(mask.sum(), 1)
+                    line[f"objective/{key}"] = float(
+                        (val * mask).sum() / denom)
+            line["objective/rollout_seconds"] = timer.history[-2]["seconds"]
+            line["objective/train_seconds"] = timer.history[-1]["seconds"]
+            metrics.log(line, step=step_idx)
             logger.info("step %d loss=%.4f", step_idx,
                         float(stats.get("loss/total", 0.0)))
+
+        if profile_at:
+            maybe_start_profiler(output_dir, step_idx, profile_at)
 
         if step_idx % save_steps == 0 or step_idx == total_steps:
             ckpt_dir = os.path.join(output_dir, f"checkpoint-{step_idx}")
