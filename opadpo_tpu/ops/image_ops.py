@@ -31,6 +31,34 @@ def normalize_images(images: jax.Array) -> jax.Array:
     return (images - mean) / std
 
 
+def preprocess_images_device(
+    images: jax.Array,            # [B, H, W, 3] uint8 or float in [0, 255]
+    out_size: int = 336,
+) -> jax.Array:
+    """Fused on-device preprocess: expand2square (CLIP mean background) →
+    bicubic resize → normalize, all in one jitted program (SURVEY §2.10:
+    the device-side replacement for the reference's PIL pipeline when raw
+    frames already live on device — e.g. streaming rollout input).
+
+    Matches the host path (data/image_processing.clip_preprocess) within
+    resampler tolerance: jax.image bicubic vs Pillow's fixed-point bicubic
+    differ by a few /255 per pixel, which the CLIP tower is insensitive to
+    (the exact-parity host path remains the default for eval).
+    """
+    b, h, w, c = images.shape
+    x = images.astype(jnp.float32)
+    side = max(h, w)
+    bg = jnp.asarray(CLIP_MEAN, jnp.float32) * 255.0
+    canvas = jnp.broadcast_to(bg, (b, side, side, c))
+    off_y, off_x = (side - h) // 2, (side - w) // 2
+    x = jax.lax.dynamic_update_slice(canvas, x, (0, off_y, off_x, 0))
+    x = jax.image.resize(x, (b, out_size, out_size, c), method="bicubic")
+    x = jnp.clip(x, 0.0, 255.0) / 255.0
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_STD, jnp.float32)
+    return (x - mean) / std
+
+
 def _exact_count_mask(rng: jax.Array, n: int, count: int) -> jax.Array:
     """Boolean [n] with exactly ``count`` True, uniformly at random."""
     noise = jax.random.uniform(rng, (n,))
