@@ -205,17 +205,27 @@ def train(cfg: Config) -> None:
             continue
 
         # -- rollout: reference scoring, cached to host --
+        # reward_model_per_device_batch_size re-chunks scoring to fit
+        # memory (reference dpo_trainer.py:329-387 sub-batch path)
+        sub_bs = t.get("reward_model_per_device_batch_size")
+        sub_bs = int(sub_bs) * n_data if sub_bs else rollout_global
+        assert rollout_global % sub_bs == 0
         t0 = time.time()
         rollouts: List[Dict[str, np.ndarray]] = []
         for _ in range(rollout_accum):
-            batch = device_put_batch(next(loader), mesh)
-            rng, sub = jax.random.split(rng)
-            scored = rollout_fn(params=base_params, ref_lora=ref_lora,
-                                batch=batch, rng=sub)
-            merged = {**batch, **scored}
-            merged.pop("queries_text", None)
-            rollouts.append({k: np.asarray(v) for k, v in merged.items()
-                             if isinstance(v, (np.ndarray, jax.Array))})
+            host_batch = next(loader)
+            for start in range(0, rollout_global, sub_bs):
+                chunk = {k: (v[start:start + sub_bs]
+                             if isinstance(v, np.ndarray) else v)
+                         for k, v in host_batch.items()}
+                batch = device_put_batch(chunk, mesh)
+                rng, sub = jax.random.split(rng)
+                scored = rollout_fn(params=base_params, ref_lora=ref_lora,
+                                    batch=batch, rng=sub)
+                merged = {**batch, **scored}
+                rollouts.append(
+                    {k: np.asarray(v) for k, v in merged.items()
+                     if isinstance(v, (np.ndarray, jax.Array))})
         rollouts_all = _merge_host(rollouts)
         timer.record("rollout", time.time() - t0)
 
