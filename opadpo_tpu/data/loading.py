@@ -54,6 +54,30 @@ class DataLoader:
                 pool.shutdown(wait=False)
 
 
+class ShardedDataset:
+    """Interleaved per-rank view of a dataset: rows ``rank::world_size``.
+
+    Multi-rank rollout sharding (reference fans the query dataset across
+    torchrun ranks via the DDP sampler, ``generator.py:87-93`` +
+    ``record_step_stats`` per-rank shard files); here each process slices
+    its rows host-side and the shards stay disjoint by construction.
+    """
+
+    def __init__(self, dataset, rank: int, world_size: int):
+        if not (0 <= rank < world_size):
+            raise ValueError(f"rank {rank} outside world size {world_size}")
+        self.dataset = dataset
+        self.rank = rank
+        self.world_size = world_size
+
+    def __len__(self):
+        n = len(self.dataset)
+        return (n - self.rank + self.world_size - 1) // self.world_size
+
+    def __getitem__(self, i):
+        return self.dataset[self.rank + int(i) * self.world_size]
+
+
 class InfiniteLoader:
     """Wraps a loader to yield forever (reference InfiniteLoader)."""
 

@@ -137,14 +137,18 @@ def restore_train_state(ckpt_dir: str, state, llama_cfg,
                       step=restored["step"])
 
 
-def find_max_step(rollout_dir: str) -> int:
+def find_max_step(rollout_dir: str, rank: Optional[int] = None) -> int:
     """Max completed rollout step from ``step{N}_rank{R}.json`` shards
-    (reference generator.py:126-140 resume-by-scanning)."""
+    (reference generator.py:126-140 resume-by-scanning).  With ``rank``
+    given, only that rank's shards count — a restarted rank re-does its own
+    missing steps even if other ranks got further."""
     if not os.path.isdir(rollout_dir):
         return 0
+    suffix = r"\d+" if rank is None else str(int(rank))
+    pattern = re.compile(r"^step(\d+)_rank" + suffix + r"\.json$")
     best = 0
     for name in os.listdir(rollout_dir):
-        m = re.match(r"^step(\d+)_rank\d+\.json$", name)
+        m = pattern.match(name)
         if m:
             best = max(best, int(m.group(1)))
     return best

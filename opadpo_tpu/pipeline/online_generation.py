@@ -36,7 +36,7 @@ from opadpo_tpu.constants import (
     LLAMA_NL_QMARK_TOKEN, LLAMA_QMARK_TOKEN,
 )
 from opadpo_tpu.data.datasets import make_rollout_data_module
-from opadpo_tpu.data.loading import DataLoader, InfiniteLoader
+from opadpo_tpu.data.loading import DataLoader, InfiniteLoader, ShardedDataset
 from opadpo_tpu.engine.sampler import Sampler, truncate_after_tokens
 from opadpo_tpu.engine.sampling import SamplingConfig
 from opadpo_tpu.models.loader import load_peft_adapter
@@ -94,9 +94,11 @@ def parse_correction_report(text: str, original_response: str) -> Dict:
 
 
 def correct_one(api: APIService, question: str, response: str,
-                image_b64: str) -> Dict:
+                image_b64: str, standard_response: str = "") -> Dict:
     try:
-        messages = build_correction_messages(question, response, image_b64)
+        messages = build_correction_messages(
+            question, response, image_b64,
+            standard_response=standard_response)
         text = api.call_llm_with_messages(messages)
         return parse_correction_report(text, response)
     except Exception as e:
@@ -150,21 +152,32 @@ def run(cfg: Config) -> None:
         pad_token_id=tokenizer.pad_token_id,
         max_new_tokens=response_len)
 
+    # multi-rank fan-out: each process takes rows rank::world, selects its
+    # API key as RANK % API_NUM, and writes step{N}_rank{R}.json shards
+    # (reference generator.py:87-93 + record_step_stats)
+    rank = int(os.environ.get("RANK", str(jax.process_index())))
+    world = int(os.environ.get("WORLD_SIZE", str(jax.process_count())))
+
     data_path = os.environ.get("DATA_DIR", cfg.get_path("data.data_path"))
     module = make_rollout_data_module(
         tokenizer, data_path, image_dir=os.environ.get("IMAGE_DIR"),
         query_len=query_len, image_size=llava_cfg.vision.image_size)
+    train_dataset = module["train_dataset"]
+    if world > 1:
+        train_dataset = ShardedDataset(train_dataset, rank, world)
     batch_size = int(t.get("rollout_per_device_batch_size", 8)) \
         * mesh.shape["data"]
-    loader = DataLoader(module["train_dataset"], module["data_collator"],
+    loader = DataLoader(train_dataset, module["data_collator"],
                         batch_size=batch_size, shuffle=False, drop_last=False)
     num_steps = len(loader)
 
-    start_step = ckpt_lib.find_max_step(rollout_dir)
-    logger.info("resuming at rollout step %d / %d", start_step, num_steps)
+    start_step = ckpt_lib.find_max_step(rollout_dir, rank=rank)
+    logger.info("rank %d/%d resuming at rollout step %d / %d", rank, world,
+                start_step, num_steps)
 
-    api = get_api_service(rank=0, cache_path=os.path.join(output_dir,
-                                                          "history.sqlite"))
+    api = get_api_service(rank=rank, cache_path=os.path.join(
+        output_dir, f"history_rank{rank}.sqlite" if world > 1
+        else "history.sqlite"))
     dry_run_api = not (os.environ.get("API_KEY0")
                        or os.environ.get("API_KEY"))
     if dry_run_api:
@@ -186,7 +199,7 @@ def run(cfg: Config) -> None:
             rec["AI_pseudo_response"] = result["AI_pseudo"]
             rec["AI_json_report"] = result["report"]
             rec["API_success"] = result["success"]
-        path = os.path.join(rollout_dir, f"step{step_idx}_rank0.json")
+        path = os.path.join(rollout_dir, f"step{step_idx}_rank{rank}.json")
         with open(path, "w") as f:
             json.dump(records, f)
         logger.info("wrote %s (%d records)", path, len(records))
@@ -228,7 +241,8 @@ def run(cfg: Config) -> None:
                     img_b64 = base64.b64encode(img_b64).decode()
                 futures.append(pool.submit(correct_one, api, rec["query"],
                                            rec["original_generate_response"],
-                                           img_b64))
+                                           img_b64,
+                                           rec["standard_response"]))
 
         # overlap: flush the previous step's corrections while this step's
         # futures run and the next step samples

@@ -2,10 +2,12 @@
 
 Functionally equivalent to the reference's correction prompt
 (``opadpo/generator_models/prompt/pseudo_rollout_coco.py:1-85``): the
-model receives the image, the question, and the policy's sampled response,
-and must return a JSON report that rewrites the response sentence by
-sentence.  The JSON *schema* must match exactly — the DPO collator parses
-these keys (``utils/data_utils_dpo.py:140-258``):
+model receives the image, the question, the policy's sampled response,
+AND the ground-truth "approximate ideal answer" (the reference's
+``standard_response`` field in ``input_format_coco_4V``, sent at
+``online_generator.py:158``), and must return a JSON report that rewrites
+the response sentence by sentence.  The JSON *schema* must match exactly —
+the DPO collator parses these keys (``utils/data_utils_dpo.py:140-258``):
 
     {"sentence_k": {"copied_content", "score", "error_type", "object",
                     "rewritten_content", "reason"}, ...,
@@ -18,9 +20,17 @@ error_type ∈ {"correct", "image_recognition_error",
 
 CORRECTION_SYSTEM_PROMPT = """\
 You are an expert visual-language verifier. You will be shown an image, a
-question about that image, and an AI assistant's answer. Your job is to
-audit the answer sentence by sentence against the image and produce a
+question about that image, an AI assistant's answer, and a reference
+answer that approximates the ideal response. Your job is to audit the
+assistant's answer sentence by sentence against the image and produce a
 corrected version.
+
+Treat the image as the primary source of truth. The reference answer is a
+guide: it points at what a good answer should cover, but it may itself be
+incomplete or contain mistakes — when it conflicts with the image, trust
+the image. Keep your edits minimal: preserve as much of the assistant's
+original wording as possible and change only what the image (and, where
+consistent with it, the reference answer) shows to be wrong or missing.
 
 For each sentence of the answer, in order, emit one JSON entry:
 - "copied_content": the sentence copied verbatim from the answer.
@@ -45,9 +55,12 @@ with a short "reason".
 Respond with ONLY the JSON object, no prose around it.
 """
 
+# Input payload mirrors the reference's ``input_format_coco_4V`` fields:
+# query / generated_response / standard_response (pseudo_rollout_coco.py).
 CORRECTION_INPUT_FORMAT = """\
 Question: {question}
 Answer to audit: {response}
+Reference answer (approximate ideal; may be incomplete): {standard_response}
 """
 
 CORRECTION_OUTPUT_FORMAT = """\
@@ -58,14 +71,21 @@ CORRECTION_OUTPUT_FORMAT = """\
 
 
 def build_correction_messages(question: str, response: str,
-                              image_b64: str) -> list:
-    """OpenAI chat-format messages with an inline base64 image."""
+                              image_b64: str,
+                              standard_response: str = "") -> list:
+    """OpenAI chat-format messages with an inline base64 image.
+
+    ``standard_response`` is the GT answer the reference sends as the
+    "approximate ideal answer" (``online_generator.py:158``) — it steers
+    the sentence rewrites and therefore the OPA/DPO dataset quality.
+    """
     return [
         {"role": "system", "content": CORRECTION_SYSTEM_PROMPT},
         {"role": "user", "content": [
             {"type": "image_url", "image_url": {
                 "url": f"data:image/jpeg;base64,{image_b64}"}},
             {"type": "text", "text": CORRECTION_INPUT_FORMAT.format(
-                question=question, response=response)},
+                question=question, response=response,
+                standard_response=standard_response)},
         ]},
     ]

@@ -129,3 +129,55 @@ def test_full_pipeline(tmp_path):
 
     # ---- resume path: completed run is a no-op ----
     opadpo_train.train(cfg)
+
+
+def test_multi_rank_rollout(tmp_path, monkeypatch):
+    """Two simulated ranks produce disjoint step{N}_rank{R}.json shards
+    that dataset_ops merges (reference generator.py:87-93 fan-out)."""
+    from opadpo_tpu.pipeline import online_generation
+    from opadpo_tpu.pipeline.dataset_ops import merge_and_filter
+
+    prompts = str(tmp_path / "prompts")
+    _tiny_prompt_dataset(prompts, n=16)
+    gen_out = str(tmp_path / "gen")
+    rollout_dir = os.path.join(gen_out, "rollouts")
+
+    for rank in (0, 1):
+        monkeypatch.setenv("RANK", str(rank))
+        monkeypatch.setenv("WORLD_SIZE", "2")
+        cfg = _base_cfg(gen_out, prompts, response_len=8, query_len=64,
+                        rollout_per_device_batch_size=1, top_k=4, top_p=0.9)
+        online_generation.run(cfg)
+
+    shards = sorted(os.listdir(rollout_dir))
+    assert shards == ["step1_rank0.json", "step1_rank1.json"]
+
+    by_rank = {}
+    for name in shards:
+        with open(os.path.join(rollout_dir, name)) as f:
+            recs = json.load(f)
+        by_rank[name] = {r["image_id"] for r in recs}
+        for r in recs:   # keep rows through the merge filters
+            r["AI_pseudo_response"] = "A corrected answer."
+            r["AI_json_report"] = json.dumps({"sentence_1": {
+                "copied content": r["original_generate_response"] or "x",
+                "score": 3, "rewritten content": "A corrected answer."}})
+        with open(os.path.join(rollout_dir, name), "w") as f:
+            json.dump(recs, f)
+
+    # disjoint interleaved split covering all 16 rows
+    assert by_rank["step1_rank0.json"] == {f"img{i}.png"
+                                           for i in range(0, 16, 2)}
+    assert by_rank["step1_rank1.json"] == {f"img{i}.png"
+                                           for i in range(1, 16, 2)}
+
+    merged = merge_and_filter([rollout_dir])
+    assert len(merged) == 16
+
+    # per-rank resume: rank 1 restarting is a no-op, a fresh rank 0 with
+    # its shard deleted re-does step 1
+    os.remove(os.path.join(rollout_dir, "step1_rank0.json"))
+    from opadpo_tpu.pipeline import checkpoints as ck
+    assert ck.find_max_step(rollout_dir, rank=1) == 1
+    assert ck.find_max_step(rollout_dir, rank=0) == 0
+    assert ck.find_max_step(rollout_dir) == 1
