@@ -45,16 +45,12 @@ def _cheap_params(cfg):
         lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
 
 
-def bench_dpo_scoring() -> dict:
+def _score_throughput(cfg, dpo, b: int, n_iters: int = 8) -> float:
+    """tokens/s of the DPO scoring forward at batch size b."""
     from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
-    from opadpo_tpu.engine.dpo import DpoConfig, score_responses
-    from opadpo_tpu.models.llava import LlavaConfig
+    from opadpo_tpu.engine.dpo import score_responses
 
-    cfg = LlavaConfig.llava_7b()
     params = _cheap_params(cfg)
-    dpo = DpoConfig(response_len=896, query_len=128, lora_scaling=2.0)
-
-    b = 1
     rng = np.random.default_rng(0)
     queries = rng.integers(5, 32000, (b, dpo.query_len)).astype(np.int32)
     queries[:, 1] = IMAGE_TOKEN_INDEX
@@ -81,7 +77,6 @@ def bench_dpo_scoring() -> dict:
     out = fn(*args)
     _ = float(jnp.sum(out["logprobs"][0]))      # force execution
 
-    n_iters = 8
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = fn(*args)
@@ -89,13 +84,32 @@ def bench_dpo_scoring() -> dict:
     dt = (time.perf_counter() - t0) / n_iters
 
     seq_len = dpo.query_len - 1 + cfg.num_patches + dpo.response_len
-    tokens_per_call = 3 * b * seq_len
-    tps = tokens_per_call / dt
+    return 3 * b * seq_len / dt
+
+
+def bench_dpo_scoring() -> dict:
+    from opadpo_tpu.engine.dpo import DpoConfig
+    from opadpo_tpu.models.llava import LlavaConfig
+
+    cfg = LlavaConfig.llava_7b()
+    dpo = DpoConfig(response_len=896, query_len=128, lora_scaling=2.0)
+
+    per_batch = {}
+    for b in (1, 4):
+        try:
+            per_batch[b] = round(_score_throughput(cfg, dpo, b), 1)
+        except Exception as e:
+            print(f"B={b} scoring failed: {e}", file=sys.stderr)
+    if not per_batch:
+        raise RuntimeError("all batch sizes failed")
+    best_b = max(per_batch, key=per_batch.get)
+    tps = per_batch[best_b]
     return {
         "metric": "llava7b_dpo_score_tokens_per_sec",
-        "value": round(tps, 1),
+        "value": tps,
         "unit": "tokens/s",
         "vs_baseline": round(tps / A100_BASELINE_TOKENS_PER_SEC, 3),
+        "detail": {f"b{b}_tokens_per_sec": v for b, v in per_batch.items()},
     }
 
 

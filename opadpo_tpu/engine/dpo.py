@@ -43,7 +43,9 @@ from opadpo_tpu.models import llava as llava_model
 from opadpo_tpu.models.llava import LlavaConfig
 from opadpo_tpu.models.lora import tree_get
 from opadpo_tpu.ops import image_ops
-from opadpo_tpu.ops.logprobs import per_token_logprobs, per_token_entropy
+from opadpo_tpu.ops.logprobs import (
+    chunked_logprobs as per_token_logprobs_chunked,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,18 +122,26 @@ def score_responses(
         image_mask=img_mask)
     positions = jnp.maximum(jnp.cumsum(key_mask, axis=1) - 1, 0).astype(jnp.int32)
 
-    logits, _ = llama_model.forward(
+    llama_lora = tree_get(lora, "llama")
+    hidden, _ = llama_model.forward(
         params["llama"], cfg.llama, embeds, key_mask, positions,
-        lora=tree_get(lora, "llama"), lora_scaling=scaling, remat=remat)
+        lora=llama_lora, lora_scaling=scaling, remat=remat,
+        return_hidden=True)
 
-    logits = logits[:, -r - 1:-1, :] / dpo.temperature
+    # chunked lm_head readout over the response positions only — never
+    # materializes [K*B, R, V] f32 logits (round-1 B=2/4 regression)
     labels = ids[:, -r:]
+    logprobs, ent = per_token_logprobs_chunked(
+        hidden[:, -r - 1:-1, :], params["llama"]["lm_head"], labels,
+        dpo.pad_token_id, temperature=dpo.temperature,
+        with_entropy=with_entropy,
+        head_lora=tree_get(llama_lora, "lm_head"), lora_scaling=scaling)
     resp_mask = jnp.concatenate(response_masks, axis=0).astype(jnp.float32)
-    logprobs = per_token_logprobs(logits, labels, dpo.pad_token_id) * resp_mask
+    logprobs = logprobs * resp_mask
 
     out = {"logprobs": tuple(logprobs[i * b:(i + 1) * b] for i in range(k))}
     if with_entropy:
-        ent = per_token_entropy(logits) * resp_mask
+        ent = ent * resp_mask
         out["entropies"] = tuple(ent[i * b:(i + 1) * b] for i in range(k))
     return out
 

@@ -22,8 +22,9 @@ from opadpo_tpu.constants import IGNORE_INDEX
 from opadpo_tpu.engine.train_state import TrainState, global_norm
 from opadpo_tpu.models import llava as llava_model
 from opadpo_tpu.models.llava import LlavaConfig
+from opadpo_tpu.models.lora import tree_get
 from opadpo_tpu.ops import image_ops
-from opadpo_tpu.ops.logprobs import per_token_logprobs, per_token_entropy
+from opadpo_tpu.ops.logprobs import chunked_logprobs
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,17 +53,29 @@ def sft_loss(
     labels = batch["labels"]
     mask = batch["attention_mask"]
     images = batch["images"]
+    lm_head = base_params["llama"]["lm_head"]
+    head_lora = tree_get(tree_get(lora, "llama"), "lm_head")
+
+    def readout(hidden, sp_labels, with_entropy):
+        """One chunked lm_head pass computing BOTH the shifted CE logprobs
+        and (optionally) per-position entropies: position t is paired with
+        label t+1 (causal shift), last position gets IGNORE."""
+        shifted = jnp.concatenate(
+            [sp_labels[:, 1:],
+             jnp.full((sp_labels.shape[0], 1), IGNORE_INDEX,
+                      sp_labels.dtype)], axis=1)
+        lp, ent = chunked_logprobs(
+            hidden, lm_head, shifted, IGNORE_INDEX,
+            with_entropy=with_entropy, head_lora=head_lora,
+            lora_scaling=sft.lora_scaling)
+        return lp[:, :-1], ent, shifted[:, :-1]
 
     out = llava_model.forward(
         base_params, cfg, ids, mask, images, lora=lora,
-        lora_scaling=sft.lora_scaling, labels=labels)
-    logits = out["logits"]
+        lora_scaling=sft.lora_scaling, labels=labels, return_hidden=True)
     sp_labels = out["labels"]
-
-    # causal shift: logits at t predict label t+1
-    shift_logits = logits[:, :-1, :]
-    shift_labels = sp_labels[:, 1:]
-    lp = per_token_logprobs(shift_logits, shift_labels, IGNORE_INDEX)
+    lp, entropies, shift_labels = readout(out["hidden"], sp_labels,
+                                          sft.entropy_loss)
     valid = (shift_labels != IGNORE_INDEX).astype(jnp.float32)
     ce_loss = -jnp.sum(lp * valid) / jnp.maximum(jnp.sum(valid), 1e-9)
 
@@ -70,14 +83,13 @@ def sft_loss(
     loss = ce_loss
 
     if sft.entropy_loss:
-        entropies = per_token_entropy(logits)
         if sft.entropy_mask_method == "attention":
             img_key_mask = image_ops.mask_patches_per_row(
                 rng, ids.shape[0], cfg.num_patches, sft.entropy_mask_ratio)
             new_out = llava_model.forward(
                 base_params, cfg, ids, mask, images, lora=lora,
                 lora_scaling=sft.lora_scaling, labels=labels,
-                image_key_mask=img_key_mask)
+                image_key_mask=img_key_mask, return_hidden=True)
         else:
             if sft.entropy_mask_method == "random":
                 masked = image_ops.mask_images_random(
@@ -87,16 +99,15 @@ def sft_loss(
                     rng, images, sft.entropy_mask_ratio)
             new_out = llava_model.forward(
                 base_params, cfg, ids, mask, masked, lora=lora,
-                lora_scaling=sft.lora_scaling, labels=labels)
-        new_entropies = per_token_entropy(new_out["logits"])
+                lora_scaling=sft.lora_scaling, labels=labels,
+                return_hidden=True)
+        mlp, new_entropies, _ = readout(new_out["hidden"], sp_labels, True)
         emask = (sp_labels != IGNORE_INDEX).astype(jnp.float32)
         ent_loss = -jnp.sum((new_entropies - entropies) * emask, axis=-1) \
             / jnp.maximum(jnp.sum(emask, axis=-1), 1e-9)
         ent_loss = jnp.mean(ent_loss)
         loss = loss + ent_loss * sft.entropy_loss_coef
         # mask-branch CE for logging (reference mask_sft_loss)
-        mlp = per_token_logprobs(new_out["logits"][:, :-1, :], shift_labels,
-                                 IGNORE_INDEX)
         stats["loss/mask_sft"] = -jnp.sum(mlp * valid) / jnp.maximum(
             jnp.sum(valid), 1e-9)
         stats["loss/entropy"] = ent_loss

@@ -283,8 +283,11 @@ def forward(
     remat: bool = True,
     attn_impl: str = "auto",
     return_hidden: bool = False,
+    last_logit_only: bool = False,
 ) -> Tuple[jax.Array, Optional[dict]]:
-    """Decoder forward. Returns (logits [B,S,V] f32, new_cache|None)."""
+    """Decoder forward. Returns (logits [B,S,V] f32, new_cache|None);
+    with ``return_hidden`` the first element is the final-norm hidden
+    [B,S,D] instead (callers run a chunked lm_head readout on it)."""
     x = input_embeds
     b, s, d = x.shape
     max_rope = int(cfg.max_position_embeddings)
@@ -331,8 +334,21 @@ def forward(
     x, new_kv = jax.lax.scan(body_fn, x, xs)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+    new_cache = None
+    if cache is not None:
+        new_cache = {
+            "k": new_kv[0], "v": new_kv[1],
+            "length": cache["length"] + s,
+        }
+
     if return_hidden:
-        return x, None
+        return x, new_cache
+
+    if last_logit_only:
+        # prefill only needs the final position's logits — skip the
+        # [B, S, V] f32 buffer (1.4 GB at B=16, S=700, V=32000)
+        x = x[:, -1:, :]
 
     logits = jnp.einsum("bsd,dv->bsv", x, params["lm_head"],
                         preferred_element_type=jnp.float32)
@@ -343,13 +359,6 @@ def forward(
         logits = logits + jnp.einsum(
             "bsr,rv->bsv", xa.astype(head_lora["b"].dtype), head_lora["b"],
             preferred_element_type=jnp.float32) * lora_scaling
-
-    new_cache = None
-    if cache is not None:
-        new_cache = {
-            "k": new_kv[0], "v": new_kv[1],
-            "length": cache["length"] + s,
-        }
     return logits, new_cache
 
 

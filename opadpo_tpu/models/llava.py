@@ -182,11 +182,14 @@ def forward(
     labels: Optional[jax.Array] = None,
     remat: bool = True,
     attn_impl: str = "auto",
+    return_hidden: bool = False,
 ) -> dict:
     """Full-sequence forward (training / scoring).
 
     Returns dict(logits [B,S,V] f32, key_mask [B,S], labels [B,S]|None)
-    over the spliced sequence of length L-1+num_patches.
+    over the spliced sequence of length L-1+num_patches; with
+    ``return_hidden`` the dict carries 'hidden' [B,S,D] instead of
+    'logits' (for the chunked lm_head readout, ops/logprobs.py).
     """
     image_feats = encode_images(params, cfg, images, lora, lora_scaling,
                                 attn_impl=attn_impl)
@@ -196,11 +199,12 @@ def forward(
         text_embeds, image_feats.astype(text_embeds.dtype), text_mask, pos,
         image_mask=image_key_mask, text_labels=labels)
     positions = jnp.maximum(jnp.cumsum(key_mask, axis=1) - 1, 0).astype(jnp.int32)
-    logits, _ = llama_model.forward(
+    out, _ = llama_model.forward(
         params["llama"], cfg.llama, embeds, key_mask, positions,
         lora=tree_get(lora, "llama"), lora_scaling=lora_scaling,
-        remat=remat, attn_impl=attn_impl)
-    return {"logits": logits, "key_mask": key_mask, "labels": spliced_labels}
+        remat=remat, attn_impl=attn_impl, return_hidden=return_hidden)
+    key = "hidden" if return_hidden else "logits"
+    return {key: out, "key_mask": key_mask, "labels": spliced_labels}
 
 
 def prefill(
@@ -233,7 +237,7 @@ def prefill(
     logits, cache = llama_model.forward(
         params["llama"], cfg.llama, embeds, full_mask[:, :s_prompt], positions,
         lora=tree_get(lora, "llama"), lora_scaling=lora_scaling,
-        cache=cache, remat=False, attn_impl=attn_impl)
+        cache=cache, remat=False, attn_impl=attn_impl, last_logit_only=True)
     return {
         "cache": cache,
         "last_logits": logits[:, -1, :],

@@ -203,9 +203,23 @@ def quant_matmul_transposed(
     return out[0, :m, :k]
 
 
+# Below this row count the matmul is weight-bandwidth-bound and the Pallas
+# streaming kernel wins (int8 weights never touch HBM as bf16: 760 GB/s
+# measured).  At or above it the matmul is MXU-bound and per-tile in-VMEM
+# dequantization costs ~30% (116 vs 170 TF/s measured at M=19k on v5e);
+# dequantizing the whole weight once and letting XLA run a plain bf16
+# einsum amortizes the dequant over all rows (17 µs vs 3.8 ms of matmul).
+_STREAMING_MAX_M = 1024
+
+
 def _q8_dense_2d(x2: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
     wq = {"q": q, "scale": scale}
     if jax.default_backend() == "tpu":
+        if x2.shape[0] > _STREAMING_MAX_M:
+            w = dequantize_weight(wq, dtype=jnp.bfloat16)
+            return jnp.einsum("mk,kn->mn", x2, w,
+                              preferred_element_type=jnp.float32
+                              ).astype(x2.dtype)
         return quant_matmul(x2, wq)
     return jnp.einsum("mk,kn->mn", x2.astype(jnp.float32),
                       q.astype(jnp.float32) * scale,
@@ -227,7 +241,14 @@ def _q8_dense_bwd(res, g):
     cotangent — it is never trained."""
     q, scale = res
     if jax.default_backend() == "tpu":
-        dx = quant_matmul_transposed(g, {"q": q, "scale": scale})
+        if g.shape[0] > _STREAMING_MAX_M:
+            w = dequantize_weight({"q": q, "scale": scale},
+                                  dtype=jnp.bfloat16)
+            dx = jnp.einsum("mn,kn->mk", g.astype(jnp.bfloat16), w,
+                            preferred_element_type=jnp.float32
+                            ).astype(g.dtype)
+        else:
+            dx = quant_matmul_transposed(g, {"q": q, "scale": scale})
     else:
         w = q.astype(jnp.float32) * scale
         dx = jnp.einsum("mn,kn->mk", g.astype(jnp.float32), w

@@ -117,3 +117,20 @@ def shard_pytree(tree: Any, specs: Any, mesh: Mesh) -> Any:
         tree,
         specs,
     )
+
+
+def shard_train_state_zero1(state: Any, mesh: Mesh) -> Any:
+    """ZeRO-1 placement for a TrainState: params/step replicated, optimizer
+    moments sharded over the ``data`` axis (the reference ships DeepSpeed
+    stage-1 for the OPA stage, ``opadpo/deepspeed_stage_1_config.json``).
+    XLA inserts the reduce-scatter/all-gather around the update."""
+    import dataclasses
+
+    rep = NamedSharding(mesh, P())
+    return dataclasses.replace(
+        state,
+        params=jax.device_put(state.params, rep),
+        opt_state=shard_pytree(state.opt_state,
+                               zero1_opt_state_specs(state.opt_state, mesh),
+                               mesh),
+        step=jax.device_put(state.step, rep))

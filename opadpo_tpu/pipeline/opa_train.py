@@ -29,7 +29,7 @@ from opadpo_tpu.engine.train_state import (
 )
 from opadpo_tpu.models import llava as llava_model
 from opadpo_tpu.models.lora import LoraConfig
-from opadpo_tpu.parallel import MeshConfig
+from opadpo_tpu.parallel import MeshConfig, shard_train_state_zero1
 from opadpo_tpu.pipeline import checkpoints as ckpt_lib
 from opadpo_tpu.pipeline.config import (
     Config, apply_overrides, load_config, save_config,
@@ -110,6 +110,9 @@ def train(cfg: Config) -> None:
         grad_accum_steps=grad_accum)
     tx = make_optimizer(opt_cfg)
     state = TrainState.create(lora, tx)
+    # ZeRO-1: optimizer moments sharded over the data axis (reference ships
+    # DeepSpeed stage-1 for this stage, deepspeed_stage_1_config.json)
+    state = shard_train_state_zero1(state, mesh)
 
     step_fn = jax.jit(
         lambda s, bp, b, r: sft_train_step(s, bp, b, tx, llava_cfg,

@@ -36,7 +36,7 @@ from opadpo_tpu.data.loading import DataLoader, InfiniteLoader
 from opadpo_tpu.models import llava as llava_model
 from opadpo_tpu.models.loader import load_peft_adapter
 from opadpo_tpu.models.lora import LoraConfig
-from opadpo_tpu.parallel import MeshConfig
+from opadpo_tpu.parallel import MeshConfig, shard_train_state_zero1
 from opadpo_tpu.pipeline import checkpoints as ckpt_lib
 from opadpo_tpu.pipeline.config import (
     Config, apply_overrides, load_config, save_config,
@@ -143,7 +143,7 @@ def train(cfg: Config) -> None:
         grad_accum_steps=grad_accum,
     )
     tx = make_optimizer(opt_cfg)
-    state = TrainState.create(policy_lora, tx)
+    state = shard_train_state_zero1(TrainState.create(policy_lora, tx), mesh)
 
     # --- data ---
     tokenizer = None
@@ -172,8 +172,9 @@ def train(cfg: Config) -> None:
         logger.info("training already completed")
         return
     if last_ckpt is not None and bool(t.get("resume_from_training", True)):
-        state = ckpt_lib.restore_train_state(last_ckpt, state,
-                                             llava_cfg.llama)
+        state = shard_train_state_zero1(
+            ckpt_lib.restore_train_state(last_ckpt, state, llava_cfg.llama),
+            mesh)
         start_step = ckpt_lib.parse_checkpoint_step(last_ckpt) + 1
         logger.info("resumed from %s at step %d", last_ckpt, start_step)
 

@@ -91,6 +91,74 @@ def test_zero1_opt_state_sharding():
         sharded, state.opt_state)
 
 
+def test_zero1_wired_into_production_driver(tmp_path, monkeypatch):
+    """Drive opa_train.train() itself (tiny config) and assert the
+    optimizer-state moments it trains with carry ``data`` sharding —
+    the reference ships ZeRO-1 for the OPA stage
+    (deepspeed_stage_1_config.json); round 1 only the dryrun wired it."""
+    import base64
+    import io
+
+    from datasets import Dataset
+    from PIL import Image
+
+    from opadpo_tpu.pipeline import checkpoints as ckpt_lib
+    from opadpo_tpu.pipeline import opa_train
+    from opadpo_tpu.pipeline.config import Config
+
+    for var in ("OUTPUT_DIR", "MODEL_DIR", "DATA_DIR", "IMAGE_DIR"):
+        monkeypatch.delenv(var, raising=False)
+
+    rng = np.random.default_rng(0)
+    imgs = []
+    for _ in range(8):
+        arr = rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        imgs.append(base64.b64encode(buf.getvalue()).decode())
+    data = str(tmp_path / "opa_data")
+    Dataset.from_dict({
+        "queries": [f"<image>\nQ{i}?" for i in range(8)],
+        "image_bytes": imgs,
+        "standard_response": [f"Answer {i}." for i in range(8)],
+        "AI_pseudo_response": [f"Corrected {i}." for i in range(8)],
+    }).save_to_disk(data)
+
+    captured = {}
+    real_save = ckpt_lib.save_train_state
+
+    def spy_save(path, state, lora_cfg, extra=None):
+        captured["state"] = state
+        return real_save(path, state, lora_cfg, extra=extra)
+
+    monkeypatch.setattr(opa_train.ckpt_lib, "save_train_state", spy_save)
+
+    cfg = Config({
+        "debug": {"tiny": True},
+        "model": {"skip_loading_weights": True},
+        "mesh": {"model": 1},
+        "data": {"data_path": data},
+        "training": {"output_dir": str(tmp_path / "out"), "seed": 0,
+                     "num_train_epochs": 1,
+                     "per_device_train_batch_size": 1,
+                     "gradient_accumulation_steps": 1, "save_steps": 1000,
+                     "query_len": 64, "response_len": 16,
+                     "logging_steps": 1, "tune_vision_tower": False,
+                     "lora_r": 4, "lora_alpha": 8},
+    })
+    opa_train.train(cfg)
+
+    state = captured["state"]
+    # the trained state's adam moments must still be data-sharded — i.e.
+    # ZeRO-1 placement survived every jitted update step
+    shardings = [leaf.sharding.spec for leaf in
+                 jax.tree_util.tree_leaves(state.opt_state)
+                 if hasattr(leaf, "sharding")
+                 and getattr(leaf, "ndim", 0) >= 2]
+    assert shardings, "no sharded-capable opt-state leaves found"
+    assert any("data" in str(s) for s in shardings), shardings
+
+
 def test_tensor_parallel_forward_matches_replicated():
     mesh = make_mesh(MeshConfig(data=4, model=2))
     params = llava_model.init_params(jax.random.PRNGKey(0), CFG)
