@@ -21,22 +21,26 @@ def rope_frequencies(head_dim: int, max_len: int, base: float = 10000.0,
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
 
 
-def _rotate_half(x):
-    half = x.shape[-1] // 2
-    x1, x2 = x[..., :half], x[..., half:]
-    return jnp.concatenate([-x2, x1], axis=-1)
-
-
 def apply_rope(q, k, cos_table, sin_table, positions):
     """Apply RoPE.
 
     q, k: [B, S, H, D]; positions: [B, S] int32; tables: [max_len, D].
+
+    Same math as HF's ``q*cos + rotate_half(q)*sin`` (the cos/sin tables
+    repeat their half, so only the first half is gathered), but expressed
+    as one split-multiply-concat expression per tensor so XLA emits a
+    single fusion — the negate+concat form cost ~120 ms per 7B forward in
+    separate slice_negate fusions (profiled on v5e).
     """
-    cos = cos_table[positions][:, :, None, :]   # [B, S, 1, D]
-    sin = sin_table[positions][:, :, None, :]
-    q_dtype, k_dtype = q.dtype, k.dtype
-    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
-    cos32, sin32 = cos.astype(jnp.float32), sin.astype(jnp.float32)
-    q_out = q32 * cos32 + _rotate_half(q32) * sin32
-    k_out = k32 * cos32 + _rotate_half(k32) * sin32
-    return q_out.astype(q_dtype), k_out.astype(k_dtype)
+    half = q.shape[-1] // 2
+    cos_h = cos_table[positions][:, :, None, :half].astype(jnp.float32)
+    sin_h = sin_table[positions][:, :, None, :half].astype(jnp.float32)
+
+    def rot(x):
+        x32 = x.astype(jnp.float32)
+        x1, x2 = x32[..., :half], x32[..., half:]
+        return jnp.concatenate(
+            [x1 * cos_h - x2 * sin_h, x2 * cos_h + x1 * sin_h],
+            axis=-1).astype(x.dtype)
+
+    return rot(q), rot(k)
