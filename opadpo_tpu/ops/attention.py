@@ -39,11 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 # Global default attention implementation consulted by impl="auto".
-# GSPMD cannot partition a pallas_call across a sharded head axis, so the
-# runtime switches this to "xla" when tensor parallelism (mesh model>1) is
-# active; XLA einsum attention partitions cleanly under GSPMD.  DP-only
-# meshes keep the flash kernel.
+# GSPMD cannot partition a pallas_call across a sharded head axis; under
+# tensor parallelism the runtime registers the mesh here (set_tp_mesh) and
+# the flash kernel runs inside a shard_map — heads are fully local under
+# head-sharding, so the mapped kernel needs no cross-device communication.
 _DEFAULT_IMPL = "auto"
+_TP_MESH = None
 
 
 def set_default_impl(impl: str) -> None:
@@ -54,6 +55,18 @@ def set_default_impl(impl: str) -> None:
 
 def get_default_impl() -> str:
     return _DEFAULT_IMPL
+
+
+def set_tp_mesh(mesh) -> None:
+    """Register (or clear, with None) the mesh used to shard_map the flash
+    kernel when the model axis is >1 (replaces round 1's blanket XLA
+    fallback, runtime.py:103-107)."""
+    global _TP_MESH
+    _TP_MESH = mesh
+
+
+def get_tp_mesh():
+    return _TP_MESH
 
 
 DEFAULT_BLOCK_Q = 512
@@ -457,6 +470,29 @@ def flash_attention(
     return o.transpose(0, 2, 1, 3)[:, :s, :, :d]
 
 
+def _flash_attention_tp(q, k, v, key_mask, causal, scale, mesh):
+    """Flash kernel under tensor parallelism: shard_map over the mesh with
+    heads split along the ``model`` axis and batch along ``data``.  Each
+    shard's heads are independent, so the body is communication-free
+    (out spec == in spec; no psum)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from opadpo_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    qkv_spec = P(DATA_AXIS, None, MODEL_AXIS, None)
+    mask_spec = P(DATA_AXIS, None)
+    fn = shard_map(
+        lambda q_, k_, v_, m_: flash_attention(
+            q_, k_, v_, key_mask=m_, causal=causal, scale=scale),
+        mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
+        out_specs=qkv_spec,
+        check_rep=False,
+    )
+    return fn(q, k, v, key_mask)
+
+
 def multi_head_attention(
     q: jax.Array,            # [B, Sq, H, D]
     k: jax.Array,            # [B, Sk, H, D]
@@ -483,6 +519,19 @@ def multi_head_attention(
     if impl == "flash":
         if q.shape[1] != k.shape[1]:
             raise ValueError("flash impl requires self-attention (Sq == Sk)")
+        if _TP_MESH is not None:
+            b, _, h, _ = q.shape
+            n_data = _TP_MESH.shape.get("data", 1)
+            n_model = _TP_MESH.shape.get("model", 1)
+            if b % n_data == 0 and h % n_model == 0:
+                if key_mask is None:
+                    key_mask = jnp.ones(q.shape[:2], jnp.int32)
+                return _flash_attention_tp(q, k, v, key_mask, causal,
+                                           scale, _TP_MESH)
+            # indivisible shapes (e.g. CLIP head counts on a wide model
+            # axis) fall through to XLA, which partitions any shape
+            return mha_reference(q, k, v, key_mask=key_mask, causal=causal,
+                                 scale=scale)
         return flash_attention(q, k, v, key_mask=key_mask, causal=causal,
                                scale=scale)
     return mha_reference(q, k, v, key_mask=key_mask, causal=causal, scale=scale)

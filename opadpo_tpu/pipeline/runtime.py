@@ -101,10 +101,10 @@ def setup_model(
     enable_compilation_cache()
     mesh = make_mesh(mesh_config)
     if mesh.shape.get("model", 1) > 1:
-        # pallas kernels don't partition under GSPMD; TP runs need the
-        # XLA attention path (see ops/attention.set_default_impl)
-        from opadpo_tpu.ops.attention import set_default_impl
-        set_default_impl("xla")
+        # tensor parallelism: run the flash kernel inside a shard_map over
+        # this mesh (heads are local under head-sharding, no comm needed)
+        from opadpo_tpu.ops.attention import set_tp_mesh
+        set_tp_mesh(mesh)
     if tiny:
         cfg = LlavaConfig.tiny()
         params = llava_model_mod.init_params(jax.random.PRNGKey(seed), cfg)
