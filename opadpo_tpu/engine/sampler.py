@@ -174,48 +174,139 @@ def decode_loop_split(
     return jax.lax.while_loop(cond, body, state)[-1]
 
 
+def decode_loop_unrolled(
+    params: dict,                 # unstacked (llava.unstack_for_decode)
+    cfg: LlavaConfig,
+    prompt_kv_list: list,         # L × (pk, pv) [B, Sp, H, hd]
+    prompt_mask: jax.Array,
+    positions: jax.Array,
+    last_logits: jax.Array,
+    rng: jax.Array,
+    sampling: SamplingConfig,
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+) -> jax.Array:
+    """Decode over per-layer weights/KV: the while body inlines all layers
+    so every weight is a loop constant — the scanned variant re-copied the
+    full int8 base per token via the layer dynamic-slices (8.8 of 17.9 ms
+    at 7B B=4, profiled)."""
+    from opadpo_tpu.models import llama as llama_model
+
+    b = prompt_mask.shape[0]
+    eos = sampling.eos_token_id
+    pad = sampling.pad_token_id
+    n_layers = len(prompt_kv_list)
+    nkv, hd = cfg.llama.num_kv_heads, cfg.llama.head_dim
+    dt = cfg.llama.dtype
+    suffix0 = tuple(
+        (jnp.zeros((b, sampling.max_new_tokens, nkv, hd), dt),
+         jnp.zeros((b, sampling.max_new_tokens, nkv, hd), dt))
+        for _ in range(n_layers))
+
+    def cond(state):
+        step = state[0]
+        done = state[-2]
+        return jnp.logical_and(step < sampling.max_new_tokens,
+                               jnp.logical_not(jnp.all(done)))
+
+    def body(state):
+        step, rng, suffix, positions, last_logits, done, out = state
+        rng, sub = jax.random.split(rng)
+        tok = sample_tokens(sub, last_logits, sampling)
+        tok = jnp.where(done, pad, tok)
+        out = out.at[:, step].set(tok)
+        done = jnp.logical_or(done, tok == eos)
+        logits, suffix = llava_model.decode_step_unrolled(
+            params, cfg, tok, prompt_kv_list, prompt_mask, list(suffix),
+            step, positions, lora=lora, lora_scaling=lora_scaling)
+        return (step + 1, rng, tuple(suffix), positions + 1, logits, done,
+                out)
+
+    out0 = jnp.full((b, sampling.max_new_tokens), pad, jnp.int32)
+    state = (jnp.zeros((), jnp.int32), rng, suffix0, positions,
+             last_logits, jnp.zeros((b,), bool), out0)
+    return jax.lax.while_loop(cond, body, state)[-1]
+
+
 class Sampler:
     """Production sampler: prefill and the decode loop are compiled as TWO
-    separate programs, and decode uses the split cache.
+    separate programs; weights live in the per-layer (unstacked) layout
+    and the decode while-body inlines all layers.
 
     A single jitted prefill+decode program at 7B exceeds HBM (both phases'
-    peaks coexist) and the monolithic-cache decode loop takes the remote
-    compile service >10 min or kills it; the split design compiles each
-    phase quickly and carries only the small suffix buffer through the
-    loop.  ``generate()`` above remains the single-program path used by
-    the tiny CPU tests.
+    peaks coexist); a scan-over-layers decode body re-copies the whole
+    base per token (layer dynamic-slices) and a monolithic KV cache as the
+    loop carry blows up the remote compile service — hence: split cache,
+    unstacked weights, unrolled layers.  ``generate()`` above remains the
+    single-program path used by the tiny CPU tests.
+
+    ``unroll=False`` falls back to the stacked scan decode (round-1
+    layout); the default unrolls.
     """
 
     def __init__(self, cfg: LlavaConfig, sampling: SamplingConfig,
-                 lora_scaling: float = 1.0):
+                 lora_scaling: float = 1.0, unroll: bool = True):
         self.cfg = cfg
         self.sampling = sampling
         self.lora_scaling = lora_scaling
+        self.unroll = unroll
         self._prefill_fn = {}
         self._decode_fn = {}
+        self._unstacked = None     # (params_id, lora_id) -> pytrees
 
     def _get_prefill(self, s_prompt: int):
         if s_prompt not in self._prefill_fn:
-            self._prefill_fn[s_prompt] = jax.jit(
-                lambda p, lo, q, m, im: llava_model.prefill(
-                    p, self.cfg, q, m, im, s_prompt, lora=lo,
-                    lora_scaling=self.lora_scaling))
+            if self.unroll:
+                self._prefill_fn[s_prompt] = jax.jit(
+                    lambda p, lo, q, m, im: llava_model.prefill_unrolled(
+                        p, self.cfg, q, m, im, lora=lo,
+                        lora_scaling=self.lora_scaling))
+            else:
+                self._prefill_fn[s_prompt] = jax.jit(
+                    lambda p, lo, q, m, im: llava_model.prefill(
+                        p, self.cfg, q, m, im, s_prompt, lora=lo,
+                        lora_scaling=self.lora_scaling))
         return self._prefill_fn[s_prompt]
 
     def _get_decode(self, s_prompt: int):
         if s_prompt not in self._decode_fn:
-            self._decode_fn[s_prompt] = jax.jit(
-                lambda p, lo, pk, pm, pos, ll, r: decode_loop_split(
-                    p, self.cfg, pk, pm, pos, ll, r, self.sampling,
-                    lora=lo, lora_scaling=self.lora_scaling))
+            if self.unroll:
+                self._decode_fn[s_prompt] = jax.jit(
+                    lambda p, lo, pk, pm, pos, ll, r: decode_loop_unrolled(
+                        p, self.cfg, pk, pm, pos, ll, r, self.sampling,
+                        lora=lo, lora_scaling=self.lora_scaling))
+            else:
+                self._decode_fn[s_prompt] = jax.jit(
+                    lambda p, lo, pk, pm, pos, ll, r: decode_loop_split(
+                        p, self.cfg, pk, pm, pos, ll, r, self.sampling,
+                        lora=lo, lora_scaling=self.lora_scaling))
         return self._decode_fn[s_prompt]
+
+    def prepare_params(self, params, lora=None):
+        """Convert (once) to the per-layer decode layout.  Callers should
+        rebind their references to the return values so the stacked copies
+        free — the conversion transiently holds both layouts on device."""
+        if not self.unroll or "layer_list" in params.get("llama", {}):
+            return params, lora
+        key = (id(params), id(lora))
+        if self._unstacked is not None and self._unstacked[0] == key:
+            return self._unstacked[1]
+        converted = llava_model.unstack_for_decode(params, lora)
+        self._unstacked = (key, converted)
+        return converted
 
     def generate(self, params, input_ids, text_mask, images, rng,
                  lora: Optional[dict] = None) -> jax.Array:
         b, l = input_ids.shape
         s_prompt = l - 1 + self.cfg.num_patches
+        if self.unroll and "layer_list" not in params.get("llama", {}):
+            params, lora = self.prepare_params(params, lora)
         pf = self._get_prefill(s_prompt)(params, lora, input_ids,
                                          text_mask, images)
+        if self.unroll:
+            return self._get_decode(s_prompt)(
+                params, lora, tuple(pf["kv_list"]), pf["key_mask"],
+                pf["next_position"], pf["last_logits"], rng)
         prompt_kv = {"k": pf["cache"]["k"], "v": pf["cache"]["v"]}
         return self._get_decode(s_prompt)(
             params, lora, prompt_kv, pf["key_mask"], pf["next_position"],

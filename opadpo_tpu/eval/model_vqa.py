@@ -96,6 +96,8 @@ def run_inference(
         max_new_tokens=max_new_tokens)
 
     sampler = Sampler(cfg, sampling, lora_scaling=lora_scaling)
+    # per-layer decode layout; rebind so the stacked weights free
+    params, lora = sampler.prepare_params(params, lora)
 
     os.makedirs(os.path.dirname(answers_file) or ".", exist_ok=True)
     rng = jax.random.PRNGKey(0)

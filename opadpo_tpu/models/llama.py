@@ -368,6 +368,29 @@ def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
     return params["embed"][safe]
 
 
+def unstack_layers(params: dict) -> dict:
+    """Stacked [L, ...] layer params → per-layer list (decode layout).
+
+    The training/scoring forward scans over stacked layers, which is ideal
+    there (one compiled body, slices amortize over the whole sequence).
+    In single-token decode the scan's per-layer dynamic-slices COPY every
+    layer's weights each step — profiled at 8.8 ms/step of the 17.9 ms
+    total at 7B int8 B=4 (the whole int8 base re-copied per token).  The
+    unrolled decode path indexes this per-layer list instead, making each
+    weight a loop constant with zero per-step copies.
+    """
+    layers = params["layers"]
+    n = None
+    for leaf in jax.tree_util.tree_leaves(layers):
+        n = leaf.shape[0]
+        break
+    layer_list = [jax.tree_util.tree_map(lambda x, i=i: x[i], layers)
+                  for i in range(n)]
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layer_list"] = layer_list
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Split-KV decode: immutable prompt cache + small mutable suffix buffer
 # ---------------------------------------------------------------------------
@@ -385,6 +408,64 @@ def init_suffix_cache(cfg: LlamaConfig, batch: int, max_new: int) -> dict:
     return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
 
 
+def _decode_layer(x, lp, ll, pk, pv, sk, sv, *, cfg, lora_scaling,
+                  positions, step, suf_valid, pm, cos, sin):
+    """One decoder layer's single-token step over (prompt, suffix) KV."""
+    b = x.shape[0]
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    scale = hd ** -0.5
+
+    h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+    q, k, v = _qkv_proj(h, lp, ll, cfg, lora_scaling)
+    q = q.reshape(b, 1, nh, hd)
+    k = k.reshape(b, 1, nkv, hd)
+    v = v.reshape(b, 1, nkv, hd)
+    q, k = apply_rope(q, k, cos, sin, positions[:, None])
+
+    # write into the small suffix buffer at `step`
+    sk = jax.lax.dynamic_update_slice(sk, k.astype(sk.dtype),
+                                      (0, step, 0, 0))
+    sv = jax.lax.dynamic_update_slice(sv, v.astype(sv.dtype),
+                                      (0, step, 0, 0))
+
+    qh = q[:, 0]                                         # [B, H, hd]
+    # scores over prompt (constant) and suffix (small) pieces
+    sp_scores = jnp.einsum("bhd,bshd->bhs", qh, pk,
+                           preferred_element_type=jnp.float32) * scale
+    ss_scores = jnp.einsum("bhd,bshd->bhs", qh, sk,
+                           preferred_element_type=jnp.float32) * scale
+    sp_scores = jnp.where(pm, sp_scores, -1e30)
+    ss_scores = jnp.where(suf_valid, ss_scores, -1e30)
+    scores = jnp.concatenate([sp_scores, ss_scores], axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1)
+    sp_n = pk.shape[1]
+    out = (jnp.einsum("bhs,bshd->bhd",
+                      probs[..., :sp_n].astype(pv.dtype), pv,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bhs,bshd->bhd",
+                        probs[..., sp_n:].astype(sv.dtype), sv,
+                        preferred_element_type=jnp.float32))
+    attn = out.reshape(b, 1, nh * hd).astype(x.dtype)
+    x = x + lora_dense(attn, lp["wo"], tree_get(ll, "wo"), lora_scaling)
+    h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+    x = x + _mlp_block(h, lp, ll, lora_scaling, cfg)
+    return x, sk, sv
+
+
+def _decode_head(x, params, lora, cfg, lora_scaling):
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = jnp.einsum("bsd,dv->bsv", x, params["lm_head"],
+                        preferred_element_type=jnp.float32)[:, 0]
+    head_lora = tree_get(lora, "lm_head")
+    if head_lora is not None:
+        xa = jnp.einsum("bsd,dr->bsr", x, head_lora["a"],
+                        preferred_element_type=jnp.float32)
+        logits = logits + jnp.einsum(
+            "bsr,rv->bsv", xa.astype(head_lora["b"].dtype), head_lora["b"],
+            preferred_element_type=jnp.float32)[:, 0] * lora_scaling
+    return logits
+
+
 def decode_forward_split(
     params: dict,
     cfg: LlamaConfig,
@@ -398,59 +479,21 @@ def decode_forward_split(
     lora_scaling: float = 1.0,
 ) -> Tuple[jax.Array, dict]:
     """One-token decode over the split cache → (logits [B, V], suffix_kv)."""
-    b = embeds.shape[0]
-    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     n_max = suffix_kv["k"].shape[2]
     cos, sin = rope_frequencies(cfg.head_dim,
                                 int(cfg.max_position_embeddings),
                                 cfg.rope_base, dtype=jnp.float32)
-    scale = hd ** -0.5
     # suffix validity: slots 0..step inclusive (the new token attends to
     # itself)
     suf_valid = (jax.lax.broadcasted_iota(jnp.int32, (n_max,), 0)
                  <= step)[None, None, :]                     # [1, 1, Nmax]
     pm = (prompt_mask != 0)[:, None, :]                      # [B, 1, Sp]
+    kw = dict(cfg=cfg, lora_scaling=lora_scaling, positions=positions,
+              step=step, suf_valid=suf_valid, pm=pm, cos=cos, sin=sin)
 
     lora_layers = tree_get(lora, "layers")
     has_lora = lora_layers is not None
     layers = params["layers"]
-
-    def layer_core(x, lp, ll, pk, pv, sk, sv):
-        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv_proj(h, lp, ll, cfg, lora_scaling)
-        q = q.reshape(b, 1, nh, hd)
-        k = k.reshape(b, 1, nkv, hd)
-        v = v.reshape(b, 1, nkv, hd)
-        q, k = apply_rope(q, k, cos, sin, positions[:, None])
-
-        # write into the small suffix buffer at `step`
-        sk = jax.lax.dynamic_update_slice(sk, k.astype(sk.dtype),
-                                          (0, step, 0, 0))
-        sv = jax.lax.dynamic_update_slice(sv, v.astype(sv.dtype),
-                                          (0, step, 0, 0))
-
-        qh = q[:, 0]                                         # [B, H, hd]
-        # scores over prompt (constant) and suffix (small) pieces
-        sp_scores = jnp.einsum("bhd,bshd->bhs", qh, pk,
-                               preferred_element_type=jnp.float32) * scale
-        ss_scores = jnp.einsum("bhd,bshd->bhs", qh, sk,
-                               preferred_element_type=jnp.float32) * scale
-        sp_scores = jnp.where(pm, sp_scores, -1e30)
-        ss_scores = jnp.where(suf_valid, ss_scores, -1e30)
-        scores = jnp.concatenate([sp_scores, ss_scores], axis=-1)
-        probs = jax.nn.softmax(scores, axis=-1)
-        sp_n = pk.shape[1]
-        out = (jnp.einsum("bhs,bshd->bhd",
-                          probs[..., :sp_n].astype(pv.dtype), pv,
-                          preferred_element_type=jnp.float32)
-               + jnp.einsum("bhs,bshd->bhd",
-                            probs[..., sp_n:].astype(sv.dtype), sv,
-                            preferred_element_type=jnp.float32))
-        attn = out.reshape(b, 1, nh * hd).astype(x.dtype)
-        x = x + lora_dense(attn, lp["wo"], tree_get(ll, "wo"), lora_scaling)
-        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        x = x + _mlp_block(h, lp, ll, lora_scaling, cfg)
-        return x, (sk, sv)
 
     if has_lora:
         xs = (layers, lora_layers, prompt_kv["k"], prompt_kv["v"],
@@ -458,24 +501,110 @@ def decode_forward_split(
 
         def body(x, sc):
             lp, ll, pk, pv, sk, sv = sc
-            return layer_core(x, lp, ll, pk, pv, sk, sv)
+            x, sk, sv = _decode_layer(x, lp, ll, pk, pv, sk, sv, **kw)
+            return x, (sk, sv)
     else:
         xs = (layers, prompt_kv["k"], prompt_kv["v"],
               suffix_kv["k"], suffix_kv["v"])
 
         def body(x, sc):
             lp, pk, pv, sk, sv = sc
-            return layer_core(x, lp, None, pk, pv, sk, sv)
+            x, sk, sv = _decode_layer(x, lp, None, pk, pv, sk, sv, **kw)
+            return x, (sk, sv)
 
     x, new_suffix = jax.lax.scan(body, embeds, xs)
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = jnp.einsum("bsd,dv->bsv", x, params["lm_head"],
-                        preferred_element_type=jnp.float32)[:, 0]
-    head_lora = tree_get(lora, "lm_head")
-    if head_lora is not None:
-        xa = jnp.einsum("bsd,dr->bsr", x, head_lora["a"],
-                        preferred_element_type=jnp.float32)
-        logits = logits + jnp.einsum(
-            "bsr,rv->bsv", xa.astype(head_lora["b"].dtype), head_lora["b"],
-            preferred_element_type=jnp.float32)[:, 0] * lora_scaling
+    logits = _decode_head(x, params, lora, cfg, lora_scaling)
     return logits, {"k": new_suffix[0], "v": new_suffix[1]}
+
+
+def forward_prefill_unrolled(
+    params: dict,                 # from unstack_layers
+    cfg: LlamaConfig,
+    input_embeds: jax.Array,      # [B, S, D]
+    key_mask: jax.Array,          # [B, S]
+    positions: jax.Array,         # [B, S]
+    lora: Optional[dict] = None,  # unstacked too
+    lora_scaling: float = 1.0,
+    attn_impl: str = "auto",
+) -> Tuple[jax.Array, list]:
+    """Prompt pass over per-layer params → (last-position logits [B, V],
+    per-layer [(k, v), ...] prompt KV).  Companion to
+    ``decode_forward_unrolled``: together they keep exactly ONE copy of
+    the weights on device (the per-layer layout), instead of a stacked
+    copy for the scan prefill plus an unstacked one for decode."""
+    b, s, d = input_embeds.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cos, sin = rope_frequencies(cfg.head_dim,
+                                int(cfg.max_position_embeddings),
+                                cfg.rope_base, dtype=jnp.float32)
+    lora_list = tree_get(lora, "layer_list")
+
+    x = input_embeds
+    kv_list = []
+    for i, lp in enumerate(params["layer_list"]):
+        ll = lora_list[i] if lora_list is not None else None
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv_proj(h, lp, ll, cfg, lora_scaling)
+        q = q.reshape(b, s, nh, hd)
+        k = k.reshape(b, s, nkv, hd)
+        v = v.reshape(b, s, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin, positions)
+        kv_list.append((k, v))
+        kk, vv = k, v
+        if nkv != nh:
+            rep = nh // nkv
+            kk = jnp.repeat(kk, rep, axis=2)
+            vv = jnp.repeat(vv, rep, axis=2)
+        attn = multi_head_attention(q, kk, vv, key_mask=key_mask,
+                                    causal=True, impl=attn_impl)
+        attn = attn.reshape(b, s, nh * hd)
+        x = x + lora_dense(attn, lp["wo"], tree_get(ll, "wo"), lora_scaling)
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        x = x + _mlp_block(h, lp, ll, lora_scaling, cfg)
+
+    logits = _decode_head(x[:, -1:, :], params, lora, cfg, lora_scaling)
+    return logits, kv_list
+
+
+def decode_forward_unrolled(
+    params: dict,                 # from unstack_layers: {"layer_list": [...]}
+    cfg: LlamaConfig,
+    embeds: jax.Array,            # [B, 1, D]
+    prompt_kv: list,              # L × (pk [B, Sp, H, hd], pv)
+    prompt_mask: jax.Array,       # [B, Sp]
+    suffix_kv: list,              # L × (sk [B, Nmax, H, hd], sv)  (carry)
+    step: jax.Array,
+    positions: jax.Array,         # [B]
+    lora: Optional[dict] = None,  # from unstack_layers too, if present
+    lora_scaling: float = 1.0,
+) -> Tuple[jax.Array, list]:
+    """One-token decode with a PYTHON loop over per-layer params.
+
+    Weights (and the prompt KV) are distinct loop constants instead of
+    scanned stacked arrays — no per-step dynamic-slice copies of the whole
+    base (profiled: the scan version re-copied the full int8 7B every
+    decode step, 8.8 of 17.9 ms at B=4).
+    """
+    n_max = suffix_kv[0][0].shape[1]
+    cos, sin = rope_frequencies(cfg.head_dim,
+                                int(cfg.max_position_embeddings),
+                                cfg.rope_base, dtype=jnp.float32)
+    suf_valid = (jax.lax.broadcasted_iota(jnp.int32, (n_max,), 0)
+                 <= step)[None, None, :]
+    pm = (prompt_mask != 0)[:, None, :]
+    kw = dict(cfg=cfg, lora_scaling=lora_scaling, positions=positions,
+              step=step, suf_valid=suf_valid, pm=pm, cos=cos, sin=sin)
+
+    lora_list = tree_get(lora, "layer_list")
+    x = embeds
+    new_suffix = []
+    for i, lp in enumerate(params["layer_list"]):
+        ll = lora_list[i] if lora_list is not None else None
+        pk, pv = prompt_kv[i]
+        sk, sv = suffix_kv[i]
+        x, sk, sv = _decode_layer(x, lp, ll, pk, pv, sk, sv, **kw)
+        new_suffix.append((sk, sv))
+    logits = _decode_head(x, params, lora, cfg, lora_scaling)
+    return logits, new_suffix
+
+

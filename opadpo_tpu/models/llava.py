@@ -267,6 +267,72 @@ def decode_step(
     return logits[:, 0, :], cache
 
 
+def unstack_for_decode(params: dict, lora: Optional[dict] = None
+                       ) -> Tuple[dict, Optional[dict]]:
+    """Per-layer (unrolled) weight layout for the decode hot loop — see
+    llama.unstack_layers.  Returns new (params, lora) pytrees; callers
+    should drop their stacked references so the duplicates free."""
+    new_params = dict(params)
+    new_params["llama"] = llama_model.unstack_layers(params["llama"])
+    new_lora = None
+    if lora is not None:
+        new_lora = dict(lora)
+        if "llama" in lora:
+            new_lora["llama"] = llama_model.unstack_layers(lora["llama"])
+    return new_params, new_lora
+
+
+def prefill_unrolled(
+    params: dict,               # from unstack_for_decode
+    cfg: LlavaConfig,
+    input_ids: jax.Array,
+    text_mask: jax.Array,
+    images: jax.Array,
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+    attn_impl: str = "auto",
+) -> dict:
+    """Prompt pass over per-layer weights → dict(kv_list, last_logits,
+    key_mask [B, Sp], next_position)."""
+    image_feats = encode_images(params, cfg, images, lora, lora_scaling,
+                                attn_impl=attn_impl)
+    text_embeds = llama_model.embed_tokens(params["llama"], input_ids)
+    pos = splice_positions(input_ids)
+    embeds, key_mask, _ = splice_sequence(
+        text_embeds, image_feats.astype(text_embeds.dtype), text_mask, pos)
+    positions = jnp.maximum(jnp.cumsum(key_mask, axis=1) - 1, 0
+                            ).astype(jnp.int32)
+    logits, kv_list = llama_model.forward_prefill_unrolled(
+        params["llama"], cfg.llama, embeds, key_mask, positions,
+        lora=tree_get(lora, "llama"), lora_scaling=lora_scaling,
+        attn_impl=attn_impl)
+    return {
+        "kv_list": kv_list,
+        "last_logits": logits[:, 0, :] if logits.ndim == 3 else logits,
+        "key_mask": key_mask,
+        "next_position": positions[:, -1] + 1,
+    }
+
+
+def decode_step_unrolled(
+    params: dict,
+    cfg: LlavaConfig,
+    token_ids: jax.Array,       # [B]
+    prompt_kv_list: list,
+    prompt_mask: jax.Array,
+    suffix_list: list,
+    step: jax.Array,
+    positions: jax.Array,
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+) -> Tuple[jax.Array, list]:
+    embeds = llama_model.embed_tokens(params["llama"], token_ids[:, None])
+    return llama_model.decode_forward_unrolled(
+        params["llama"], cfg.llama, embeds, prompt_kv_list, prompt_mask,
+        suffix_list, step, positions, lora=tree_get(lora, "llama"),
+        lora_scaling=lora_scaling)
+
+
 def decode_step_split(
     params: dict,
     cfg: LlavaConfig,

@@ -185,6 +185,9 @@ def run(cfg: Config) -> None:
                        "uncorrected (degraded mode)")
 
     sampler = Sampler(llava_cfg, sampling, lora_scaling=lora_scaling)
+    # rebind to the per-layer decode layout so the stacked weight copy
+    # frees (7B int8: 7 GB; holding both layouts would OOM the chip)
+    params, lora = sampler.prepare_params(params, lora)
 
     pool = concurrent.futures.ThreadPoolExecutor(
         max_workers=int(os.environ.get("API_WORKERS", "8")))

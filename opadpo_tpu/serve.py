@@ -51,6 +51,8 @@ class InferenceWorker:
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id)
         self.sampler = Sampler(cfg, self.sampling, lora_scaling=lora_scaling)
+        self.params, self.lora = self.sampler.prepare_params(self.params,
+                                                             self.lora)
         self.rng = jax.random.PRNGKey(0)
         threading.Thread(target=self._loop, daemon=True).start()
 

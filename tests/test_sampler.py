@@ -105,9 +105,14 @@ def test_split_sampler_matches_generate():
                               eos_token_id=-1)
     ref = generate(params32, cfg32, ids, mask, images,
                    jax.random.PRNGKey(0), sampling)
+    # default: unrolled per-layer decode (weights as loop constants)
     s = Sampler(cfg32, sampling)
     out = s.generate(params32, ids, mask, images, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
-    # second call hits the cached compiled fns
+    # second call hits the cached compiled fns + cached unstacked params
     out2 = s.generate(params32, ids, mask, images, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
+    # legacy stacked-scan decode stays available and agrees
+    s_scan = Sampler(cfg32, sampling, unroll=False)
+    out3 = s_scan.generate(params32, ids, mask, images, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out3), np.asarray(ref))
