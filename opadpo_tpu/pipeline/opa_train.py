@@ -58,7 +58,8 @@ def train(cfg: Config) -> None:
         skip_loading_weights=bool(cfg.get_path("model.skip_loading_weights",
                                                False)),
         tiny=tiny, seed=int(t.get("seed", 42)),
-        bits=int(t.get("bits", 16)))
+        bits=int(t.get("bits", 16)),
+        act_bits=int(t.get("act_bits", 16)))
     n_data = mesh.shape["data"]
 
     lora_cfg = LoraConfig(rank=int(t.get("lora_r", 256)),

@@ -73,6 +73,7 @@ def train(cfg: Config) -> None:
         tiny=tiny,
         seed=int(t.get("seed", 42)),
         bits=int(t.get("bits", 16)),
+        act_bits=int(t.get("act_bits", 16)),
     )
     n_data = mesh.shape["data"]
 

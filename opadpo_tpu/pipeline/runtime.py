@@ -88,6 +88,7 @@ def setup_model(
     tiny: bool = False,
     seed: int = 42,
     bits: int = 16,
+    act_bits: int = 16,
 ) -> Tuple[LlavaConfig, dict, "jax.sharding.Mesh"]:
     """(cfg, params, mesh).  ``skip_loading_weights`` builds a random-init
     model from config only — the reference's debug hook
@@ -123,6 +124,15 @@ def setup_model(
         params = quantize_params(params)
     elif bits != 16:
         raise ValueError(f"bits={bits} unsupported (16 or 8)")
+    if act_bits == 8:
+        if bits != 8:
+            raise ValueError("act_bits=8 requires bits=8")
+        # w8a8: int8 MXU matmuls with per-token activation quantization
+        # (opt-in; small documented quality trade — ops/quant.py)
+        from opadpo_tpu.ops.quant import set_act_quant
+        set_act_quant(True)
+    elif act_bits != 16:
+        raise ValueError(f"act_bits={act_bits} unsupported (16 or 8)")
 
     specs = param_partition_specs(params, mesh)
     params = shard_pytree(params, specs, mesh)

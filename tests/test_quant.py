@@ -161,3 +161,48 @@ def test_fused_layout_matches_unfused():
               "llama": fuse_for_inference(quantize_params(params)["llama"])}
     out_q = llava_model.forward(qfused, CFG, ids, mask, images, remat=False)
     assert np.isfinite(np.asarray(out_q["logits"])).all()
+
+
+def test_w8a8_matches_dequant_path():
+    """w8a8 (per-row activation int8) tracks the dequantized matmul within
+    int8 quantization error on gaussian activations."""
+    import numpy as np
+    from opadpo_tpu.ops.quant import (
+        _w8a8_2d, dequantize_weight, quantize_weight,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 128)) * 0.05, jnp.float32)
+    wq = quantize_weight(w)
+    ref = x @ dequantize_weight(wq, dtype=jnp.float32)
+    out = _w8a8_2d(x, wq["q"], wq["scale"])
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).mean()
+    assert err.mean() / scale < 0.02, (err.mean(), scale)
+    assert err.max() / scale < 0.2
+
+
+def test_act_quant_flag_switches_large_m_path(monkeypatch):
+    """With the flag on, q8_dense's large-M forward uses the int8 MXU path
+    (and the backward stays the dequantized STE path)."""
+    import numpy as np
+    from opadpo_tpu.ops import quant
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(quant._STREAMING_MAX_M + 8, 64)),
+                    jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 32)) * 0.1, jnp.float32)
+    wq = quant.quantize_weight(w)
+
+    quant.set_act_quant(True)
+    try:
+        y = quant.q8_dense(x, wq)
+        # gradient flows through (STE): finite, same shape as x
+        g = jax.grad(lambda xx: jnp.sum(quant.q8_dense(xx, wq) ** 2))(x)
+    finally:
+        quant.set_act_quant(False)
+    ref = x @ quant.dequantize_weight(wq, dtype=jnp.float32)
+    err = np.abs(np.asarray(y) - np.asarray(ref)).mean()
+    assert err / np.abs(np.asarray(ref)).mean() < 0.02
+    assert np.all(np.isfinite(np.asarray(g)))
