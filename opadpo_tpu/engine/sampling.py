@@ -41,15 +41,27 @@ def sample_tokens(rng: jax.Array, logits: jax.Array,
     logits = logits / jnp.maximum(cfg.temperature, 1e-6)
 
     if cfg.top_k and cfg.top_k > 0:
-        kth = jax.lax.top_k(logits, cfg.top_k)[0][:, -1:]
-        logits = jnp.where(logits < kth, _NEG_INF, logits)
+        # Everything below the k-th logit is filtered anyway, so do the
+        # top-p warp AND the categorical draw in the k-wide space (k=30 in
+        # the rollout recipe) — the full-vocab variant paid a 32000-wide
+        # sort per decode step.  Distribution is identical: softmax over
+        # the top-k filtered logits == softmax over the top-k values.
+        vals, idx = jax.lax.top_k(logits, cfg.top_k)     # sorted desc
+        if cfg.top_p < 1.0:
+            probs = jax.nn.softmax(vals, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # HF TopPLogitsWarper semantics: keep the minimal prefix whose
+            # cumulative mass reaches top_p (the crossing token included).
+            keep = (cum - probs) < cfg.top_p
+            vals = jnp.where(keep, vals, _NEG_INF)
+        local = jax.random.categorical(rng, vals, axis=-1)
+        return jnp.take_along_axis(idx, local[:, None], axis=1)[:, 0].astype(
+            jnp.int32)
 
     if cfg.top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        # HF TopPLogitsWarper semantics: keep the minimal prefix whose
-        # cumulative mass reaches top_p (the crossing token included).
         keep = (cum - probs) < cfg.top_p                 # [B, V] sorted space
         threshold = jnp.min(
             jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)

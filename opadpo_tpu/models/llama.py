@@ -165,9 +165,10 @@ def _gate_up_proj(x, lp, ll, cfg, lora_scaling):
 
 
 def _concat_weights(ws):
-    """Concat plain or quantized weights along the output dim."""
+    """Concat plain or quantized (int8/int4) weights along the output dim."""
     if isinstance(ws[0], dict):
-        return {"q": jnp.concatenate([w["q"] for w in ws], axis=-1),
+        qk = "q4" if "q4" in ws[0] else "q"
+        return {qk: jnp.concatenate([w[qk] for w in ws], axis=-1),
                 "scale": jnp.concatenate([w["scale"] for w in ws], axis=-1)}
     return jnp.concatenate(ws, axis=-1)
 

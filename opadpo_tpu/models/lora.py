@@ -51,6 +51,9 @@ def lora_dense(
     if isinstance(w, dict) and "q" in w:
         from opadpo_tpu.ops.quant import q8_dense
         y = q8_dense(x, w).astype(jnp.float32)
+    elif isinstance(w, dict) and "q4" in w:
+        from opadpo_tpu.ops.quant import q4_dense
+        y = q4_dense(x, w).astype(jnp.float32)
     else:
         y = jnp.einsum("...i,io->...o", x, w,
                        preferred_element_type=jnp.float32)

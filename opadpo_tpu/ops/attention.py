@@ -475,7 +475,7 @@ def _flash_attention_tp(q, k, v, key_mask, causal, scale, mesh):
     heads split along the ``model`` axis and batch along ``data``.  Each
     shard's heads are independent, so the body is communication-free
     (out spec == in spec; no psum)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from opadpo_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS

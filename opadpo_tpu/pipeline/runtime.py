@@ -117,13 +117,13 @@ def setup_model(
         cfg = llava_config_from_hf(model_dir)
         params = load_llava_checkpoint(model_dir, cfg, vision_dir=vision_dir)
 
-    if bits == 8:
-        # QLoRA configuration: frozen int8 base + bf16 adapters
-        # (reference bits=8 path, qlora_model.py:151-160)
+    if bits in (4, 8):
+        # QLoRA configuration: frozen int8/int4 base + bf16 adapters
+        # (reference bits=4/8 paths, qlora_model.py:151-160)
         from opadpo_tpu.ops.quant import quantize_params
-        params = quantize_params(params)
+        params = quantize_params(params, bits=bits)
     elif bits != 16:
-        raise ValueError(f"bits={bits} unsupported (16 or 8)")
+        raise ValueError(f"bits={bits} unsupported (16, 8 or 4)")
     if act_bits == 8:
         if bits != 8:
             raise ValueError("act_bits=8 requires bits=8")

@@ -171,7 +171,7 @@ def main():
     p.add_argument("--vision-path", default=None)
     p.add_argument("--adapter-path", default=None)
     p.add_argument("--port", type=int, default=8400)
-    p.add_argument("--bits", type=int, default=16, choices=(16, 8))
+    p.add_argument("--bits", type=int, default=16, choices=(16, 8, 4))
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=512)
     args = p.parse_args()

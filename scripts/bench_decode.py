@@ -1,0 +1,91 @@
+"""Decode throughput benchmark: 7B LLaVA rollout-shaped sampling on one
+chip (reference hot loop: HF ``generate`` in ``rl_models.py:146-191``).
+
+Measures steps/s of the unrolled split-cache decode loop at B=4 with the
+rollout sampling config (top_k=30/top_p=0.95/T=1.0), for the quantized
+base layouts that fit this 16 GB chip (bits=8 / bits=4).
+
+Usage: python scripts/bench_decode.py [--bits 8] [--batch 4] [--steps 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bits", type=int, default=8, choices=(16, 8, 4))
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--steps", type=int, default=128)
+    p.add_argument("--query-len", type=int, default=128)
+    args = p.parse_args()
+
+    from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
+    from opadpo_tpu.engine.sampler import decode_loop_unrolled
+    from opadpo_tpu.engine.sampling import SamplingConfig
+    from opadpo_tpu.models import llama as llama_model
+    from opadpo_tpu.models import llava as llava_model
+    from opadpo_tpu.ops import quant
+
+    cfg = llava_model.LlavaConfig.llava_7b()
+    b = args.batch
+
+    def build():
+        params = llava_model.init_params(jax.random.PRNGKey(0), cfg)
+        if args.bits in (4, 8):
+            params = quant.quantize_params(params, bits=args.bits)
+        llama = llama_model.fuse_for_inference(params["llama"])
+        return {**params, "llama": llama_model.unstack_layers(llama)}
+
+    shapes = jax.eval_shape(build)
+    params = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
+    print(f"params ready (bits={args.bits})", flush=True)
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(5, 32000, (b, args.query_len)).astype(np.int32)
+    q[:, 1] = IMAGE_TOKEN_INDEX
+    qm = np.ones_like(q)
+    images = jnp.zeros((b, 336, 336, 3), jnp.bfloat16)
+
+    pf = jax.jit(lambda p, q, m, im: llava_model.prefill_unrolled(
+        p, cfg, q, m, im))(params, jnp.asarray(q), jnp.asarray(qm), images)
+    _ = float(jnp.sum(pf["last_logits"]))
+    print("prefill done", flush=True)
+
+    # eos that never fires → the loop runs all `steps` steps
+    sampling = SamplingConfig(max_new_tokens=args.steps, temperature=1.0,
+                              top_k=30, top_p=0.95, eos_token_id=-1,
+                              pad_token_id=0)
+    dec = jax.jit(lambda p, pk, pm, pos, ll, r: decode_loop_unrolled(
+        p, cfg, pk, pm, pos, ll, r, sampling))
+    dargs = (params, tuple(pf["kv_list"]), pf["key_mask"],
+             pf["next_position"], pf["last_logits"], jax.random.PRNGKey(1))
+    out = dec(*dargs)
+    _ = int(jnp.sum(out))
+    t0 = time.perf_counter()
+    out = dec(*dargs)
+    _ = int(jnp.sum(out))
+    dt = time.perf_counter() - t0
+    sps = args.steps / dt
+    print(f"bits={args.bits} B={b}: {sps:.1f} steps/s "
+          f"({sps*b:.0f} tok/s), {dt/args.steps*1e3:.2f} ms/step")
+
+
+if __name__ == "__main__":
+    main()

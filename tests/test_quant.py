@@ -168,7 +168,7 @@ def test_w8a8_matches_dequant_path():
     int8 quantization error on gaussian activations."""
     import numpy as np
     from opadpo_tpu.ops.quant import (
-        _w8a8_2d, dequantize_weight, quantize_weight,
+        _w8a8_nd, dequantize_weight, quantize_weight,
     )
 
     rng = np.random.default_rng(0)
@@ -176,7 +176,11 @@ def test_w8a8_matches_dequant_path():
     w = jnp.asarray(rng.normal(size=(256, 128)) * 0.05, jnp.float32)
     wq = quantize_weight(w)
     ref = x @ dequantize_weight(wq, dtype=jnp.float32)
-    out = _w8a8_2d(x, wq["q"], wq["scale"])
+    out = _w8a8_nd(x, wq["q"], wq["scale"])
+    # leading-dims path matches the 2D path
+    out3 = _w8a8_nd(x.reshape(4, 16, 256), wq["q"], wq["scale"])
+    np.testing.assert_allclose(np.asarray(out3.reshape(64, 128)),
+                               np.asarray(out), rtol=1e-6, atol=1e-6)
     err = np.abs(np.asarray(out) - np.asarray(ref))
     scale = np.abs(np.asarray(ref)).mean()
     assert err.mean() / scale < 0.02, (err.mean(), scale)
@@ -206,3 +210,136 @@ def test_act_quant_flag_switches_large_m_path(monkeypatch):
     err = np.abs(np.asarray(y) - np.asarray(ref)).mean()
     assert err / np.abs(np.asarray(ref)).mean() < 0.02
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+# ---------------------------------------------------------------------------
+# int4 (bits=4, reference bnb 4-bit path)
+# ---------------------------------------------------------------------------
+
+def test_int4_pack_roundtrip_error():
+    from opadpo_tpu.ops.quant import dequantize_weight4, quantize_weight_int4
+    rng = jax.random.PRNGKey(10)
+    w = jax.random.normal(rng, (256, 96), jnp.float32) * 0.05
+    wq = quantize_weight_int4(w, group=128)
+    assert wq["q4"].shape == (128, 96) and wq["q4"].dtype == jnp.int8
+    assert wq["scale"].shape == (2, 96)
+    deq = dequantize_weight4(wq, jnp.float32)
+    # group-wise int4: error bounded by scale/2 per element
+    max_scale = float(jnp.max(wq["scale"]))
+    assert float(jnp.max(jnp.abs(deq - w))) <= max_scale * 0.5 + 1e-7
+
+
+def test_int4_pack_roundtrip_exact_codes():
+    """Packing stores exact int4 codes: requantizing the dequantized
+    weight is lossless."""
+    from opadpo_tpu.ops.quant import dequantize_weight4, quantize_weight_int4
+    rng = jax.random.PRNGKey(11)
+    w = jax.random.normal(rng, (2, 256, 64), jnp.float32)  # stacked layout
+    wq = quantize_weight_int4(w)
+    deq = dequantize_weight4(wq, jnp.float32)
+    wq2 = quantize_weight_int4(deq)
+    np.testing.assert_array_equal(np.asarray(wq["q4"]), np.asarray(wq2["q4"]))
+
+
+def test_quant_matmul4_matches_dequantized():
+    from opadpo_tpu.ops.quant import (
+        dequantize_weight4, quant_matmul4, quantize_weight_int4,
+    )
+    rng = jax.random.PRNGKey(12)
+    k1, k2 = jax.random.split(rng)
+    x = jax.random.normal(k1, (40, 256), jnp.float32)
+    w = jax.random.normal(k2, (256, 300), jnp.float32) * 0.1
+    wq = quantize_weight_int4(w)
+    ref = x @ dequantize_weight4(wq, jnp.float32)
+    out = quant_matmul4(x, wq)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
+    # multiple K-blocks (block_k = one group)
+    out2 = quant_matmul4(x, wq, block_k=128)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_q4_dense_leading_dims_and_grad():
+    from opadpo_tpu.ops.quant import (
+        dequantize_weight4, q4_dense, quantize_weight_int4,
+    )
+    rng = jax.random.PRNGKey(13)
+    x = jax.random.normal(rng, (2, 5, 128), jnp.float32)
+    w = jax.random.normal(rng, (128, 32), jnp.float32) * 0.1
+    wq = quantize_weight_int4(w)
+    w_deq = dequantize_weight4(wq, jnp.float32)
+    out = q4_dense(x, wq)
+    ref = jnp.einsum("bsi,io->bso", x, w_deq)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
+    gq = jax.grad(lambda xx: jnp.sum(q4_dense(xx, wq) ** 2))(x)
+    gr = jax.grad(lambda xx: jnp.sum(jnp.einsum("bsi,io->bso", xx, w_deq) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gr),
+                               atol=1e-2, rtol=1e-2)
+
+
+def test_quantize_params_bits4_with_int8_fallback():
+    from opadpo_tpu.ops.quant import is_quantized4
+    params = llava_model.init_params(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_params(params, bits=4)
+    # tiny config: wq in-dim 128 → int4; w_down in-dim 352 (not a multiple
+    # of the group) → int8 fallback
+    assert is_quantized4(qparams["llama"]["layers"]["wq"])
+    assert is_quantized(qparams["llama"]["layers"]["w_down"])
+    assert not is_quantized4(qparams["llama"]["embed"])
+    assert not is_quantized4(qparams["llama"]["lm_head"])
+
+
+def test_int4_llava_forward_finite_and_close():
+    params = llava_model.init_params(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_params(params, bits=4)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(14))
+    b, l = 2, 10
+    ids = jax.random.randint(k1, (b, l), 5, CFG.llama.vocab_size)
+    ids = ids.at[:, 2].set(IMAGE_TOKEN_INDEX)
+    mask = jnp.ones((b, l), jnp.int32)
+    sz = CFG.vision.image_size
+    images = jax.random.normal(k2, (b, sz, sz, 3))
+    ref = llava_model.forward(params, CFG, ids, mask, images, remat=False)
+    out = llava_model.forward(qparams, CFG, ids, mask, images, remat=False)
+    ref_lp = jax.nn.log_softmax(ref["logits"], axis=-1)
+    out_lp = jax.nn.log_softmax(out["logits"], axis=-1)
+    assert np.isfinite(np.asarray(out_lp)).all()
+    # int4 base: lossier than int8 but still close on the tiny model
+    assert float(jnp.mean(jnp.abs(ref_lp - out_lp))) < 0.3
+
+
+def test_int4_fused_layout_and_dpo_step():
+    """bits=4 through QKV fusion and the DPO train step (QLoRA on int4)."""
+    from opadpo_tpu.engine.dpo import DpoConfig, dpo_train_step, rollout_score
+    from opadpo_tpu.engine.train_state import (
+        OptimizerConfig, TrainState, make_optimizer,
+    )
+    from opadpo_tpu.models.llama import fuse_for_inference
+    from opadpo_tpu.models.lora import LoraConfig
+    from tests.test_dpo_engine import _make_batch
+
+    params = llava_model.init_params(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_params(params, bits=4)
+    fused = {**qparams, "llama": fuse_for_inference(qparams["llama"])}
+    assert "q4" in fused["llama"]["layers"]["w_qkv"]
+
+    lora_cfg = LoraConfig(rank=4, alpha=8.0)
+    dpo = DpoConfig(response_len=8, query_len=6,
+                    lora_scaling=lora_cfg.scaling, CoPO=False, AncPO=False,
+                    detailed_report=False, response_score=False,
+                    response_image_relation=False)
+    batch = _make_batch()
+    ref_lora = llava_model.init_lora(jax.random.PRNGKey(1), CFG, lora_cfg)
+    rollouts = rollout_score(qparams, CFG, dpo, ref_lora, batch,
+                             jax.random.PRNGKey(2))
+    full_batch = {**batch, **rollouts}
+    lora0 = llava_model.init_lora(jax.random.PRNGKey(3), CFG, lora_cfg)
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-3, warmup_steps=0,
+                                        total_steps=4))
+    state = TrainState.create(lora0, tx)
+    new_state, stats = dpo_train_step(state, qparams, full_batch, tx, CFG,
+                                      dpo)
+    assert np.isfinite(float(stats["loss/total"]))
+    assert float(stats["loss/grad_norm"]) > 0

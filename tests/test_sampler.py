@@ -116,3 +116,27 @@ def test_split_sampler_matches_generate():
     s_scan = Sampler(cfg32, sampling, unroll=False)
     out3 = s_scan.generate(params32, ids, mask, images, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(out3), np.asarray(ref))
+
+
+def test_top_k_plus_top_p_support_and_distribution():
+    """The k-space fast path (no full-vocab sort) keeps HF warper
+    semantics: support = top-p prefix of the top-k set, and sampling
+    frequencies match the softmax over that support."""
+    import numpy as np
+    rng = jax.random.PRNGKey(0)
+    base = jnp.log(jnp.asarray([[0.4, 0.3, 0.15, 0.1, 0.05]], jnp.float32))
+    logits = jnp.pad(base, ((0, 0), (0, 3)), constant_values=-1e9)
+
+    # top_k=4 keeps {0,1,2,3}; top_p=0.8 keeps the prefix {0,1,2}
+    # (0.4+0.3 < 0.8, crossing token 2 included; 0.4+0.3+0.15 >= 0.8 stops)
+    cfg = SamplingConfig(top_k=4, top_p=0.8)
+    counts = np.zeros(8)
+    n = 3000
+    for i in range(n):
+        tok = int(sample_tokens(jax.random.fold_in(rng, i), logits, cfg)[0])
+        counts[tok] += 1
+    assert counts[3:].sum() == 0, counts
+    freq = counts[:3] / n
+    expect = np.array([0.4, 0.3, 0.15])
+    expect = expect / expect.sum()
+    np.testing.assert_allclose(freq, expect, atol=0.04)
