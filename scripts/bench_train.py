@@ -112,13 +112,15 @@ def main():
                                             warmup_steps=0, total_steps=10))
         state = TrainState.create(lora0, tx)
         scfg = SftConfig(lora_scaling=lora_cfg.scaling)
-        step = jax.jit(lambda s, bt: sft_train_step(s, params, bt, tx, cfg,
-                                                    scfg))
-        state, stats = step(state, sft_batch)
+        # params MUST be a jit argument: closed-over arrays become XLA
+        # constants and constant folding blows up compile time (CLAUDE.md)
+        step = jax.jit(lambda s, p, bt: sft_train_step(s, p, bt, tx, cfg,
+                                                       scfg))
+        state, stats = step(state, params, sft_batch)
         _ = float(stats["loss/total"])
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            state, stats = step(state, sft_batch)
+            state, stats = step(state, params, sft_batch)
         _ = float(stats["loss/total"])
         dt = (time.perf_counter() - t0) / args.iters
         print(f"OPA SFT step (B={b * 2}, seq~{seq}): {dt:.2f} s "
@@ -145,13 +147,13 @@ def main():
     tx = make_optimizer(OptimizerConfig(learning_rate=1e-6, warmup_steps=0,
                                         total_steps=10))
     state = TrainState.create(lora0, tx)
-    step = jax.jit(lambda s, bt: dpo_train_step(s, params, bt, tx, cfg, dpo),
+    step = jax.jit(lambda s, p, bt: dpo_train_step(s, p, bt, tx, cfg, dpo),
                    donate_argnums=(0,))
-    state, stats = step(state, full_batch)
+    state, stats = step(state, params, full_batch)
     _ = float(stats["loss/total"])
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        state, stats = step(state, full_batch)
+        state, stats = step(state, params, full_batch)
     _ = float(stats["loss/total"])
     dt = (time.perf_counter() - t0) / args.iters
     print(f"DPO train step (CoPO+AncPO, r={args.lora_rank}, B={b}): "

@@ -89,3 +89,13 @@ def test_config_compose_and_overrides():
     assert cfg.get_path("training.beta") == 0.2
     assert cfg.get_path("training.CoPO") is False
     assert cfg.get_path("mesh.model") == 2
+
+
+def test_13b_singlechip_int4_config():
+    cfg = load_config("configs/llava_dpo_13b_singlechip.yaml")
+    assert cfg.get_path("training.bits") == 4
+    assert cfg.get_path("mesh.model") == 1
+    assert "13b" in cfg.get_path("checkpoints.base_model")
+    # inherits the full DPO recipe
+    assert cfg.get_path("training.CoPO") is True
+    assert cfg.get_path("training.beta") == 0.1

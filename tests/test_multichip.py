@@ -220,3 +220,41 @@ def test_tensor_parallel_flash_kernel_f32_tight():
                   batch["queries_attention_mask"], batch["images"])
     np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_dpo_step_data_parallel_on_quantized_base():
+    """QLoRA × DP: the frozen int8/int4 base (quantized {"q"/"q4","scale"}
+    dicts) shards/replicates cleanly over the mesh and the data-parallel
+    step matches the single-device oracle."""
+    from opadpo_tpu.ops.quant import quantize_params
+
+    for bits in (8, 4):
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        qparams = quantize_params(
+            llava_model.init_params(jax.random.PRNGKey(0), CFG), bits=bits)
+        lora = llava_model.init_lora(jax.random.PRNGKey(1), CFG, LORA_CFG)
+        ref_lora = llava_model.init_lora(jax.random.PRNGKey(2), CFG, LORA_CFG)
+        tx = make_optimizer(OptimizerConfig(learning_rate=1e-3,
+                                            warmup_steps=0, total_steps=10))
+        batch = _batch(b=8)
+        rollouts = rollout_score(qparams, CFG, DPO, ref_lora, batch,
+                                 jax.random.PRNGKey(3))
+        full_batch = {**batch, **rollouts}
+
+        rep = replicated_sharding(mesh)
+        bsh = batch_sharding(mesh)
+        params_s = jax.device_put(qparams, rep)
+        state_s = jax.device_put(TrainState.create(lora, tx), rep)
+        batch_s = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, bsh), full_batch)
+        step = jax.jit(
+            lambda s, p, b: dpo_train_step(s, p, b, tx, CFG, DPO),
+            donate_argnums=(0,))
+        _, stats = step(state_s, params_s, batch_s)
+        assert np.isfinite(float(stats["loss/total"])), bits
+
+        state2 = TrainState.create(
+            llava_model.init_lora(jax.random.PRNGKey(1), CFG, LORA_CFG), tx)
+        _, stats2 = dpo_train_step(state2, qparams, full_batch, tx, CFG, DPO)
+        np.testing.assert_allclose(float(stats["loss/total"]),
+                                   float(stats2["loss/total"]), rtol=1e-4)
