@@ -204,6 +204,27 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int) -> dict:
     }
 
 
+def _use_fused_flash(attn_impl: str, s: int, nh: int, nkv: int,
+                     hd: int) -> bool:
+    """Fused Pallas prologue/epilogue path (rope + head-split + pad +
+    transpose in one pass per tensor — ops/attention.py): full-sequence
+    self-attention with MHA (no KV grouping), 128-aligned heads, flash
+    eligible, no TP shard_map (that wrapper keeps the [B,S,H,D]
+    interface)."""
+    from opadpo_tpu.ops.attention import (
+        MAX_FLASH_SEQ, get_default_impl, get_fused_attention, get_tp_mesh,
+    )
+    if attn_impl == "auto":
+        attn_impl = get_default_impl()
+    if attn_impl == "xla" or not get_fused_attention():
+        return False
+    return (jax.default_backend() == "tpu"
+            and get_tp_mesh() is None
+            and nh == nkv
+            and hd % 128 == 0
+            and s <= MAX_FLASH_SEQ)
+
+
 def _attention_block(x, lp, ll, cfg, lora_scaling, key_mask, positions,
                      cos, sin, cache_kv=None, cache_index=None,
                      attn_impl="auto"):
@@ -217,6 +238,14 @@ def _attention_block(x, lp, ll, cfg, lora_scaling, key_mask, positions,
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     q, k, v = _qkv_proj(x, lp, ll, cfg, lora_scaling)
+
+    if cache_kv is None and _use_fused_flash(attn_impl, s, nh, nkv, hd):
+        from opadpo_tpu.ops.attention import flash_attention_fused
+        attn2 = flash_attention_fused(q, k, v, cos, sin, positions, nh,
+                                      key_mask=key_mask, causal=True)
+        out = lora_dense(attn2, lp["wo"], tree_get(ll, "wo"), lora_scaling)
+        return out, None
+
     q = q.reshape(b, s, nh, hd)
     k = k.reshape(b, s, nkv, hd)
     v = v.reshape(b, s, nkv, hd)

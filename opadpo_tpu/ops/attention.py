@@ -45,6 +45,19 @@ _NEG_INF = -1e30
 # head-sharding, so the mapped kernel needs no cross-device communication.
 _DEFAULT_IMPL = "auto"
 _TP_MESH = None
+# Fused rope+layout prologue/epilogue kernels around the flash kernel
+# (flash_attention_fused).  On by default for eligible TPU shapes; the
+# toggle exists so configs can fall back to the unfused path.
+_FUSED_QKV = True
+
+
+def set_fused_attention(enabled: bool) -> None:
+    global _FUSED_QKV
+    _FUSED_QKV = bool(enabled)
+
+
+def get_fused_attention() -> bool:
+    return _FUSED_QKV
 
 
 def set_default_impl(impl: str) -> None:
@@ -470,6 +483,214 @@ def flash_attention(
     return o.transpose(0, 2, 1, 3)[:, :s, :, :d]
 
 
+# ---------------------------------------------------------------------------
+# Fused layout kernels: projection output [B, S, H*hd] ⇄ kernel layout
+# [B, H, S_pad, hd] with RoPE folded in.
+#
+# XLA fragments the q/k path (reshape → layout copy → rope+pad fusion)
+# into ~3 full-tensor passes and keeps them f32 (profiled at ~15% of the
+# 7B scoring forward).  These kernels do the whole prologue/epilogue as
+# ONE read + ONE write each: the [bs, H*hd] row-block stays resident in
+# VMEM across the innermost head grid dimension (index map ignores h),
+# each head step lane-slices its 128 columns, applies the rotation in
+# f32, and writes a contiguous [bs, hd] block of the [B, H, S_pad, hd]
+# output.  The inverse kernel accumulates head lanes into a resident
+# output row-block.  Rotation sign is reversed for the VJP (Rᵀ = R(−θ)).
+# ---------------------------------------------------------------------------
+
+_LAYOUT_BS = 256          # row-block: [256, 4096] f32 = 4 MB resident
+
+
+def _rot_block(xh, cos_b, sin_b, hd, inverse):
+    x32 = xh.astype(jnp.float32)
+    half = hd // 2
+    x1, x2 = x32[:, :half], x32[:, half:]
+    if inverse:
+        return jnp.concatenate(
+            [x1 * cos_b + x2 * sin_b, x2 * cos_b - x1 * sin_b], axis=-1)
+    return jnp.concatenate(
+        [x1 * cos_b - x2 * sin_b, x2 * cos_b + x1 * sin_b], axis=-1)
+
+
+def _scatter_heads_kernel(x_ref, cos_ref, sin_ref, o_ref, *, h, hd, s, bs,
+                          rope, inverse):
+    i = pl.program_id(1)
+    xb = x_ref[0]                                      # [bs, H*hd]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0) + i * bs
+    valid = rows < s
+    cos_b = cos_ref[0] if rope else None
+    sin_b = sin_ref[0] if rope else None
+    for hh in range(h):                                # static lane slices
+        xh = jnp.where(valid, xb[:, hh * hd:(hh + 1) * hd], 0)
+        if rope:
+            out = _rot_block(xh, cos_b, sin_b, hd, inverse)
+        else:
+            out = xh.astype(jnp.float32)
+        o_ref[0, hh] = out.astype(o_ref.dtype)
+
+
+def _gather_heads_kernel(x_ref, cos_ref, sin_ref, o_ref, *, h, hd, bs,
+                         rope, inverse):
+    cos_b = cos_ref[0] if rope else None
+    sin_b = sin_ref[0] if rope else None
+    for hh in range(h):
+        xh = x_ref[0, hh]                              # [bs, hd]
+        if rope:
+            out = _rot_block(xh, cos_b, sin_b, hd, inverse)
+        else:
+            out = xh.astype(jnp.float32)
+        o_ref[0, :, hh * hd:(hh + 1) * hd] = out.astype(o_ref.dtype)
+
+
+def _scatter_heads_call(x, cos_g, sin_g, h, hd, s_pad, rope, inverse,
+                        out_dtype=jnp.bfloat16):
+    """[B, S, H*hd] → [B, H, S_pad, hd] (+rope).  cos_g/sin_g: [B, S_pad,
+    hd/2] f32 (ignored when rope=False).  One grid step per row-block
+    handles ALL heads (static python loop + static lane slices — Mosaic
+    has no dynamic lane indexing): one contiguous [bs, H*hd] read, one
+    [H, bs, hd] write."""
+    b, s, d = x.shape
+    bs = min(_LAYOUT_BS, s_pad)
+    grid = (b, s_pad // bs)
+    # the grid covers s_pad rows but x only has s: clamp the x block index
+    # so no block starts past the array (fully out-of-bounds input DMAs
+    # fault on hardware; the in-kernel `rows < s` mask discards whatever
+    # the clamped tail blocks re-read)
+    last_blk = (s - 1) // bs
+    return pl.pallas_call(
+        functools.partial(_scatter_heads_kernel, h=h, hd=hd, s=s, bs=bs,
+                          rope=rope, inverse=inverse),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bs, d),
+                         lambda b_, i: (b_, jnp.minimum(i, last_blk), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, hd // 2), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, hd // 2), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, bs, hd), lambda b_, i: (b_, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, hd), out_dtype),
+        interpret=_interpret_mode(),
+    )(x, cos_g, sin_g)
+
+
+def _gather_heads_call(x_t, cos_g, sin_g, rope, inverse, out_dtype):
+    """[B, H, S_pad, hd] → [B, S_pad, H*hd] (+rope on each head slice).
+    Stays padded — callers row-slice outside (cheap, layout-preserving)."""
+    b, h, s_pad, hd = x_t.shape
+    bs = min(_LAYOUT_BS, s_pad)
+    grid = (b, s_pad // bs)
+    return pl.pallas_call(
+        functools.partial(_gather_heads_kernel, h=h, hd=hd, bs=bs,
+                          rope=rope, inverse=inverse),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, bs, hd), lambda b_, i: (b_, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, hd // 2), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, hd // 2), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bs, h * hd), lambda b_, i: (b_, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, h * hd), out_dtype),
+        interpret=_interpret_mode(),
+    )(x_t, cos_g, sin_g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _to_heads(x, cos_g, sin_g, h, s_pad, rope, s_len, x_dt):
+    hd = x.shape[-1] // h
+    return _scatter_heads_call(x, cos_g, sin_g, h, hd, s_pad, rope,
+                               inverse=False)
+
+
+def _to_heads_fwd(x, cos_g, sin_g, h, s_pad, rope, s_len, x_dt):
+    return _to_heads(x, cos_g, sin_g, h, s_pad, rope, s_len, x_dt), \
+        (cos_g, sin_g)
+
+
+def _to_heads_bwd(h, s_pad, rope, s_len, x_dt, res, g):
+    cos_g, sin_g = res
+    dx_pad = _gather_heads_call(g, cos_g, sin_g, rope,
+                                inverse=True, out_dtype=x_dt)
+    return dx_pad[:, :s_len, :], None, None
+
+
+_to_heads.defvjp(_to_heads_fwd, _to_heads_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _from_heads(x_t, out_dtype, in_dtype, h):
+    b, _, s_pad, hd = x_t.shape
+    dummy = jnp.zeros((b, s_pad, hd // 2), jnp.float32)
+    return _gather_heads_call(x_t, dummy, dummy, rope=False,
+                              inverse=False, out_dtype=out_dtype)
+
+
+def _from_heads_fwd(x_t, out_dtype, in_dtype, h):
+    return _from_heads(x_t, out_dtype, in_dtype, h), None
+
+
+def _from_heads_bwd(out_dtype, in_dtype, h, res, g):
+    b, s_pad, d = g.shape
+    hd = d // h
+    dummy = jnp.zeros((b, s_pad, hd // 2), jnp.float32)
+    dx = _scatter_heads_call(g, dummy, dummy, h, hd, s_pad, rope=False,
+                             inverse=False, out_dtype=in_dtype)
+    return (dx,)
+
+
+_from_heads.defvjp(_from_heads_fwd, _from_heads_bwd)
+
+
+def flash_attention_fused(
+    q2: jax.Array,           # [B, S, H*hd] projection output (+lora)
+    k2: jax.Array,
+    v2: jax.Array,
+    cos_table: jax.Array,    # [max_len, hd]
+    sin_table: jax.Array,
+    positions: jax.Array,    # [B, S] int32
+    num_heads: int,
+    key_mask: Optional[jax.Array] = None,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Self-attention straight from projection outputs: fused Pallas
+    prologue (RoPE + head-split + pad + transpose in one pass per tensor),
+    flash kernel, fused epilogue.  Returns [B, S, H*hd] bf16-like q2."""
+    b, s, d = q2.shape
+    hd = d // num_heads
+    if scale is None:
+        scale = hd ** -0.5
+    s_pad = _round_up(s, max(block_q, block_k))
+    if key_mask is None:
+        key_mask = jnp.ones((b, s), jnp.int32)
+
+    half = hd // 2
+    cos_g = jnp.pad(cos_table[positions][..., :half],
+                    ((0, 0), (0, s_pad - s), (0, 0))).astype(jnp.float32)
+    sin_g = jnp.pad(sin_table[positions][..., :half],
+                    ((0, 0), (0, s_pad - s), (0, 0))).astype(jnp.float32)
+
+    q_t = _to_heads(q2, cos_g, sin_g, num_heads, s_pad, True, s, q2.dtype)
+    k_t = _to_heads(k2, cos_g, sin_g, num_heads, s_pad, True, s, k2.dtype)
+    v_t = _to_heads(v2, cos_g, sin_g, num_heads, s_pad, False, s, v2.dtype)
+    kbias = jnp.where(
+        jnp.pad(key_mask.astype(jnp.int32), ((0, 0), (0, s_pad - s))) != 0,
+        0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
+
+    o = _flash_attention_padded(q_t, k_t, v_t, kbias, causal, scale,
+                                block_q, block_k)
+    return _from_heads(o, jnp.bfloat16, q_t.dtype, num_heads)[:, :s, :]
+
+
 def _flash_attention_tp(q, k, v, key_mask, causal, scale, mesh):
     """Flash kernel under tensor parallelism: shard_map over the mesh with
     heads split along the ``model`` axis and batch along ``data``.  Each
@@ -488,7 +709,7 @@ def _flash_attention_tp(q, k, v, key_mask, causal, scale, mesh):
         mesh=mesh,
         in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
         out_specs=qkv_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, key_mask)
 

@@ -89,6 +89,7 @@ def setup_model(
     seed: int = 42,
     bits: int = 16,
     act_bits: int = 16,
+    fused_attention: bool = True,
 ) -> Tuple[LlavaConfig, dict, "jax.sharding.Mesh"]:
     """(cfg, params, mesh).  ``skip_loading_weights`` builds a random-init
     model from config only — the reference's debug hook
@@ -100,6 +101,9 @@ def setup_model(
 
     maybe_init_multihost()
     enable_compilation_cache()
+    if not fused_attention:
+        from opadpo_tpu.ops.attention import set_fused_attention
+        set_fused_attention(False)
     mesh = make_mesh(mesh_config)
     if mesh.shape.get("model", 1) > 1:
         # tensor parallelism: run the flash kernel inside a shard_map over

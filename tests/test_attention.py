@@ -75,3 +75,81 @@ def test_unaligned_seq_and_dim():
     out_flash = flash_attention(q, k, v, causal=True)
     out_ref = mha_reference(q, k, v, causal=True)
     np.testing.assert_allclose(out_flash, out_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_fused_matches_unfused():
+    """flash_attention_fused (pallas rope+head-split+pad prologue /
+    gather epilogue) == apply_rope + flash_attention + reshape, values
+    and input gradients."""
+    from opadpo_tpu.ops.attention import flash_attention, flash_attention_fused
+    from opadpo_tpu.ops.rope import apply_rope, rope_frequencies
+
+    b, s, h, hd = 2, 50, 2, 128
+    d = h * hd
+    cos, sin = rope_frequencies(hd, 128, 10000.0)
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q2 = jax.random.normal(k1, (b, s, d), jnp.float32) * 0.3
+    kk2 = jax.random.normal(k2, (b, s, d), jnp.float32) * 0.3
+    v2 = jax.random.normal(k3, (b, s, d), jnp.float32) * 0.3
+    positions = jnp.tile(jnp.arange(s, dtype=jnp.int32)[None], (b, 1))
+    km = jnp.ones((b, s), jnp.int32).at[:, -5:].set(0)
+
+    def ref(q2, kk2, v2):
+        q = q2.reshape(b, s, h, hd)
+        k = kk2.reshape(b, s, h, hd)
+        v = v2.reshape(b, s, h, hd)
+        q, k = apply_rope(q, k, cos, sin, positions)
+        o = flash_attention(q, k, v, key_mask=km, causal=True)
+        return o.reshape(b, s, d).astype(jnp.float32)
+
+    def fused(q2, kk2, v2):
+        return flash_attention_fused(
+            q2, kk2, v2, cos, sin, positions, h, key_mask=km,
+            causal=True).astype(jnp.float32)
+
+    o_ref = ref(q2, kk2, v2)
+    o_fus = fused(q2, kk2, v2)
+    np.testing.assert_allclose(np.asarray(o_fus), np.asarray(o_ref),
+                               atol=2e-2, rtol=2e-2)
+
+    w = jax.random.normal(rng, (b, s, d), jnp.float32)
+    g_ref = jax.grad(lambda *a: jnp.sum(ref(*a) * w), argnums=(0, 1, 2))(
+        q2, kk2, v2)
+    g_fus = jax.grad(lambda *a: jnp.sum(fused(*a) * w), argnums=(0, 1, 2))(
+        q2, kk2, v2)
+    for gr, gf in zip(g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-2, rtol=5e-2)
+
+
+def test_use_fused_flash_dispatch(monkeypatch):
+    """The fused-prologue dispatch guards: TPU-only, MHA-only, 128-aligned
+    heads, no TP mesh, honors impl overrides and the kill switch."""
+    from opadpo_tpu.models.llama import _use_fused_flash
+    from opadpo_tpu.ops import attention as att
+
+    # CPU backend → never fused
+    assert not _use_fused_flash("auto", 1599, 32, 32, 128)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _use_fused_flash("auto", 1599, 32, 32, 128)
+    assert _use_fused_flash("flash", 1599, 32, 32, 128)
+    assert not _use_fused_flash("xla", 1599, 32, 32, 128)
+    assert not _use_fused_flash("auto", 1599, 32, 8, 128)    # GQA
+    assert not _use_fused_flash("auto", 1599, 32, 32, 64)    # hd unaligned
+    assert not _use_fused_flash("auto", 8192, 32, 32, 128)   # too long
+
+    att.set_fused_attention(False)
+    try:
+        assert not _use_fused_flash("auto", 1599, 32, 32, 128)
+    finally:
+        att.set_fused_attention(True)
+
+    class FakeMesh:
+        shape = {"data": 1, "model": 2}
+    att.set_tp_mesh(FakeMesh())
+    try:
+        assert not _use_fused_flash("auto", 1599, 32, 32, 128)
+    finally:
+        att.set_tp_mesh(None)
