@@ -242,16 +242,27 @@ class Sampler:
 
     ``unroll=False`` falls back to the stacked scan decode (round-1
     layout); the default unrolls.
+
+    ``kv_bits=8`` quantizes the prompt KV cache to int8 after prefill
+    (``llama.quantize_prompt_kv``): decode is bandwidth-bound on the
+    prompt-KV reads, so this trades ~0.4%% KV rounding error for halved
+    cache traffic.  Default 16 keeps the reference's bf16 cache.
     """
 
     def __init__(self, cfg: LlavaConfig, sampling: SamplingConfig,
-                 lora_scaling: float = 1.0, unroll: bool = True):
+                 lora_scaling: float = 1.0, unroll: bool = True,
+                 kv_bits: int = 16, head_bits: int = 16):
+        assert kv_bits in (16, 8), kv_bits
+        assert head_bits in (16, 8, 4), head_bits
         self.cfg = cfg
         self.sampling = sampling
         self.lora_scaling = lora_scaling
         self.unroll = unroll
+        self.kv_bits = kv_bits
+        self.head_bits = head_bits
         self._prefill_fn = {}
         self._decode_fn = {}
+        self._quantize_kv_fn = None
         self._unstacked = None     # (params_id, lora_id) -> pytrees
 
     def _get_prefill(self, s_prompt: int):
@@ -292,6 +303,18 @@ class Sampler:
         if self._unstacked is not None and self._unstacked[0] == key:
             return self._unstacked[1]
         converted = llava_model.unstack_for_decode(params, lora)
+        if self.head_bits != 16:
+            from opadpo_tpu.models.llama import quantize_head_for_decode
+            bits = self.head_bits
+            p2 = dict(converted[0])
+            lp = dict(p2["llama"])
+            # jit only the head (the rest of the pytree must not round-trip
+            # through an un-donated jit, which would copy the whole base)
+            lp["lm_head"] = jax.jit(
+                lambda w: quantize_head_for_decode(
+                    {"lm_head": w}, bits)["lm_head"])(lp["lm_head"])
+            p2["llama"] = lp
+            converted = (p2, converted[1])
         self._unstacked = (key, converted)
         return converted
 
@@ -304,8 +327,15 @@ class Sampler:
         pf = self._get_prefill(s_prompt)(params, lora, input_ids,
                                          text_mask, images)
         if self.unroll:
+            kv_list = pf["kv_list"]
+            if self.kv_bits == 8:
+                from opadpo_tpu.models.llama import quantize_prompt_kv_list
+                if self._quantize_kv_fn is None:
+                    self._quantize_kv_fn = jax.jit(
+                        lambda kv: quantize_prompt_kv_list(list(kv)))
+                kv_list = self._quantize_kv_fn(tuple(kv_list))
             return self._get_decode(s_prompt)(
-                params, lora, tuple(pf["kv_list"]), pf["key_mask"],
+                params, lora, tuple(kv_list), pf["key_mask"],
                 pf["next_position"], pf["last_logits"], rng)
         prompt_kv = {"k": pf["cache"]["k"], "v": pf["cache"]["v"]}
         return self._get_decode(s_prompt)(

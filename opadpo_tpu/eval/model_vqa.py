@@ -88,6 +88,8 @@ def run_inference(
     short_eval: bool = False,
     query_len: int = 128,
     model_id: str = "llava-tpu",
+    kv_bits: int = 16,
+    head_bits: int = 16,
 ) -> None:
     sampling = SamplingConfig(
         greedy=(temperature == 0.0), temperature=max(temperature, 1e-4),
@@ -95,7 +97,8 @@ def run_inference(
         pad_token_id=tokenizer.pad_token_id,
         max_new_tokens=max_new_tokens)
 
-    sampler = Sampler(cfg, sampling, lora_scaling=lora_scaling)
+    sampler = Sampler(cfg, sampling, lora_scaling=lora_scaling,
+                      kv_bits=kv_bits, head_bits=head_bits)
     # per-layer decode layout; rebind so the stacked weights free
     params, lora = sampler.prepare_params(params, lora)
 
@@ -171,6 +174,8 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=1024)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--short_eval", action="store_true")
+    p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8))
+    p.add_argument("--head-bits", type=int, default=16, choices=(16, 8, 4))
     args = p.parse_args()
 
     from opadpo_tpu.models.loader import load_peft_adapter
@@ -197,7 +202,8 @@ def main():
                   args.answers_file, lora=lora, lora_scaling=scaling,
                   batch_size=args.batch_size,
                   max_new_tokens=args.max_new_tokens,
-                  temperature=args.temperature, short_eval=args.short_eval)
+                  temperature=args.temperature, short_eval=args.short_eval,
+                  kv_bits=args.kv_bits, head_bits=args.head_bits)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,8 @@ from opadpo_tpu.models.lora import lora_dense, tree_get, init_lora_entry, LoraCo
 from opadpo_tpu.ops.attention import multi_head_attention, mha_reference
 from opadpo_tpu.ops.rope import rope_frequencies, apply_rope
 
+_NEG_INF = -1e30
+
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
@@ -204,13 +206,13 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int) -> dict:
     }
 
 
-def _use_fused_flash(attn_impl: str, s: int, nh: int, nkv: int,
+def _use_fused_flash(attn_impl: str, s: int, b: int, nh: int, nkv: int,
                      hd: int) -> bool:
     """Fused Pallas prologue/epilogue path (rope + head-split + pad +
     transpose in one pass per tensor — ops/attention.py): full-sequence
     self-attention with MHA (no KV grouping), 128-aligned heads, flash
-    eligible, no TP shard_map (that wrapper keeps the [B,S,H,D]
-    interface)."""
+    eligible.  Under TP the fused pipeline runs inside a shard_map on
+    each shard's local heads, so batch/heads must divide the mesh axes."""
     from opadpo_tpu.ops.attention import (
         MAX_FLASH_SEQ, get_default_impl, get_fused_attention, get_tp_mesh,
     )
@@ -218,8 +220,11 @@ def _use_fused_flash(attn_impl: str, s: int, nh: int, nkv: int,
         attn_impl = get_default_impl()
     if attn_impl == "xla" or not get_fused_attention():
         return False
+    mesh = get_tp_mesh()
+    if mesh is not None and (b % mesh.shape.get("data", 1) != 0
+                             or nh % mesh.shape.get("model", 1) != 0):
+        return False
     return (jax.default_backend() == "tpu"
-            and get_tp_mesh() is None
             and nh == nkv
             and hd % 128 == 0
             and s <= MAX_FLASH_SEQ)
@@ -239,7 +244,7 @@ def _attention_block(x, lp, ll, cfg, lora_scaling, key_mask, positions,
 
     q, k, v = _qkv_proj(x, lp, ll, cfg, lora_scaling)
 
-    if cache_kv is None and _use_fused_flash(attn_impl, s, nh, nkv, hd):
+    if cache_kv is None and _use_fused_flash(attn_impl, s, b, nh, nkv, hd):
         from opadpo_tpu.ops.attention import flash_attention_fused
         attn2 = flash_attention_fused(q, k, v, cos, sin, positions, nh,
                                       key_mask=key_mask, causal=True)
@@ -438,9 +443,49 @@ def init_suffix_cache(cfg: LlamaConfig, batch: int, max_new: int) -> dict:
     return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
 
 
+def quantize_prompt_kv(kv: jax.Array) -> dict:
+    """Per-(batch, position, head) symmetric int8 quantization of a prompt
+    KV tensor [B, Sp, H, hd] → ``{"q": int8 [B, H, Sp, hd], "scale": f32
+    [B, H, Sp]}`` — note the HEAD-MAJOR transpose.
+
+    Decode is bandwidth-bound on the prompt-KV reads (~1.5 GB/step at 7B
+    B=4 bf16); int8 halves them.  Two layout decisions, both profiled:
+    head-major [B, H, Sp, hd] makes the score/value einsums true (b, h)
+    batch MXU dots — the sequence-major layout lowered to VPU
+    multiply-reduce fusions running at ~half bandwidth, which ate the
+    entire int8 saving.  Scales live in the score layout [B, H, Sp] so
+    ``_decode_layer`` folds them into the scores (k) and the softmax
+    probabilities (v); the dequantized tensor is never materialized (the
+    int8→bf16 convert fuses into the dot)."""
+    amax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1)   # [B, Sp, H]
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.round(kv.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
+    q = q.transpose(0, 2, 1, 3)
+    scale = scale.transpose(0, 2, 1)
+    # pad Sp to the decode-attention kernel's block multiple; pad scales
+    # are 0 so padded K scores the kernel's additive bias alone (−1e30)
+    # and padded V rows contribute nothing
+    sp = q.shape[2]
+    sp_pad = -(-sp // 256) * 256
+    if sp_pad != sp:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sp_pad - sp), (0, 0)))
+        scale = jnp.pad(scale, ((0, 0), (0, 0), (0, sp_pad - sp)))
+    return {"q": q, "scale": scale}
+
+
+def quantize_prompt_kv_list(kv_list: list) -> list:
+    """[(pk, pv), ...] → [(pk_q, pv_q), ...] for decode_forward_unrolled."""
+    return [(quantize_prompt_kv(pk), quantize_prompt_kv(pv))
+            for pk, pv in kv_list]
+
+
 def _decode_layer(x, lp, ll, pk, pv, sk, sv, *, cfg, lora_scaling,
-                  positions, step, suf_valid, pm, cos, sin):
-    """One decoder layer's single-token step over (prompt, suffix) KV."""
+                  positions, step, suf_valid, pm, cos, sin, pbias=None):
+    """One decoder layer's single-token step over (prompt, suffix) KV.
+
+    ``pk``/``pv`` are either bf16 arrays [B, Sp, H, hd] or int8 dicts from
+    ``quantize_prompt_kv`` (halved read bandwidth; scales folded into the
+    scores/probs so no dequantized copy exists)."""
     b = x.shape[0]
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     scale = hd ** -0.5
@@ -459,22 +504,38 @@ def _decode_layer(x, lp, ll, pk, pv, sk, sv, *, cfg, lora_scaling,
                                       (0, step, 0, 0))
 
     qh = q[:, 0]                                         # [B, H, hd]
-    # scores over prompt (constant) and suffix (small) pieces
-    sp_scores = jnp.einsum("bhd,bshd->bhs", qh, pk,
-                           preferred_element_type=jnp.float32) * scale
     ss_scores = jnp.einsum("bhd,bshd->bhs", qh, sk,
                            preferred_element_type=jnp.float32) * scale
-    sp_scores = jnp.where(pm, sp_scores, -1e30)
-    ss_scores = jnp.where(suf_valid, ss_scores, -1e30)
-    scores = jnp.concatenate([sp_scores, ss_scores], axis=-1)
-    probs = jax.nn.softmax(scores, axis=-1)
-    sp_n = pk.shape[1]
-    out = (jnp.einsum("bhs,bshd->bhd",
-                      probs[..., :sp_n].astype(pv.dtype), pv,
-                      preferred_element_type=jnp.float32)
-           + jnp.einsum("bhs,bshd->bhd",
-                        probs[..., sp_n:].astype(sv.dtype), sv,
-                        preferred_element_type=jnp.float32))
+    ss_scores = jnp.where(suf_valid, ss_scores, _NEG_INF)
+    if isinstance(pk, dict):
+        # int8 prompt cache → fused Pallas kernel over the (big, constant)
+        # prompt piece, flash-state merge with the (small, mutable) bf16
+        # suffix piece outside
+        from opadpo_tpu.ops.decode_attention import decode_attention_prompt
+        out_p, m_p, l_p = decode_attention_prompt(
+            qh.astype(x.dtype), pk["q"], pk["scale"], pv["q"], pv["scale"],
+            pbias, scale)
+        m_s = jnp.max(ss_scores, axis=-1)                # [B, H]
+        m = jnp.maximum(m_p, m_s)
+        alpha_p = jnp.exp(m_p - m)
+        p_s = jnp.exp(ss_scores - m[..., None])
+        l = l_p * alpha_p + jnp.sum(p_s, axis=-1)
+        out_s = jnp.einsum("bhs,bshd->bhd", p_s.astype(sv.dtype), sv,
+                           preferred_element_type=jnp.float32)
+        out = (out_p * alpha_p[..., None] + out_s) / l[..., None]
+    else:
+        sp_scores = jnp.einsum("bhd,bshd->bhs", qh, pk,
+                               preferred_element_type=jnp.float32) * scale
+        sp_scores = jnp.where(pm, sp_scores, _NEG_INF)
+        sp_n = pk.shape[1]
+        scores = jnp.concatenate([sp_scores, ss_scores], axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = (jnp.einsum("bhs,bshd->bhd",
+                          probs[..., :sp_n].astype(pv.dtype), pv,
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bhs,bshd->bhd",
+                            probs[..., sp_n:].astype(sv.dtype), sv,
+                            preferred_element_type=jnp.float32))
     attn = out.reshape(b, 1, nh * hd).astype(x.dtype)
     x = x + lora_dense(attn, lp["wo"], tree_get(ll, "wo"), lora_scaling)
     h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
@@ -482,10 +543,39 @@ def _decode_layer(x, lp, ll, pk, pv, sk, sv, *, cfg, lora_scaling,
     return x, sk, sv
 
 
+def quantize_head_for_decode(params: dict, bits: int) -> dict:
+    """Quantize ``lm_head`` in a DECODE-ONLY param layout.  The reference
+    (and ``quant.quantize_params``) always skips lm_head — training and
+    scoring keep that; but the decode loop re-reads the 262 MB bf16 head
+    every token (~350 us/step at B=4, profiled), so samplers may opt in
+    via ``head_bits``."""
+    from opadpo_tpu.ops import quant
+    if bits == 16 or isinstance(params.get("lm_head"), dict):
+        return params
+    new = dict(params)
+    if bits == 8:
+        new["lm_head"] = quant.quantize_weight(params["lm_head"])
+    elif bits == 4:
+        new["lm_head"] = quant.quantize_weight_int4(params["lm_head"])
+    else:
+        raise ValueError(f"head_bits={bits}")
+    return new
+
+
 def _decode_head(x, params, lora, cfg, lora_scaling):
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = jnp.einsum("bsd,dv->bsv", x, params["lm_head"],
-                        preferred_element_type=jnp.float32)[:, 0]
+    head = params["lm_head"]
+    if isinstance(head, dict):
+        from opadpo_tpu.ops import quant
+        x2 = x.reshape(-1, x.shape[-1])
+        if "q4" in head:
+            l2 = quant.quant_matmul4(x2, head, out_dtype=jnp.float32)
+        else:
+            l2 = quant.quant_matmul(x2, head, out_dtype=jnp.float32)
+        logits = l2.reshape(*x.shape[:-1], -1)[:, 0]
+    else:
+        logits = jnp.einsum("bsd,dv->bsv", x, head,
+                            preferred_element_type=jnp.float32)[:, 0]
     head_lora = tree_get(lora, "lm_head")
     if head_lora is not None:
         xa = jnp.einsum("bsd,dr->bsr", x, head_lora["a"],
@@ -622,8 +712,18 @@ def decode_forward_unrolled(
     suf_valid = (jax.lax.broadcasted_iota(jnp.int32, (n_max,), 0)
                  <= step)[None, None, :]
     pm = (prompt_mask != 0)[:, None, :]
+    pbias = None
+    if isinstance(prompt_kv[0][0], dict):
+        # additive prompt bias for the fused decode-attention kernel,
+        # in the cache's padded length (pads invalid)
+        sp_pad = prompt_kv[0][0]["q"].shape[2]
+        sp = prompt_mask.shape[1]
+        pbias = jnp.pad(
+            jnp.where(prompt_mask != 0, 0.0, _NEG_INF).astype(jnp.float32),
+            ((0, 0), (0, sp_pad - sp)), constant_values=_NEG_INF)
     kw = dict(cfg=cfg, lora_scaling=lora_scaling, positions=positions,
-              step=step, suf_valid=suf_valid, pm=pm, cos=cos, sin=sin)
+              step=step, suf_valid=suf_valid, pm=pm, cos=cos, sin=sin,
+              pbias=pbias)
 
     lora_list = tree_get(lora, "layer_list")
     x = embeds

@@ -664,14 +664,34 @@ def flash_attention_fused(
 ) -> jax.Array:
     """Self-attention straight from projection outputs: fused Pallas
     prologue (RoPE + head-split + pad + transpose in one pass per tensor),
-    flash kernel, fused epilogue.  Returns [B, S, H*hd] bf16-like q2."""
+    flash kernel, fused epilogue.  Returns [B, S, H*hd] bf16-like q2.
+
+    Under tensor parallelism (a mesh registered via ``set_tp_mesh``) the
+    whole pipeline runs inside a shard_map: the feature axis of the
+    [B, S, H*hd] projection outputs is head-sharded along ``model``, so
+    each shard applies the fused kernels to its local heads with no
+    communication (callers must ensure H divides the model axis — see
+    ``models/llama._use_fused_flash``)."""
+    b, s, d = q2.shape
+    if key_mask is None:
+        key_mask = jnp.ones((b, s), jnp.int32)
+    if _TP_MESH is not None:
+        return _flash_attention_fused_tp(
+            q2, k2, v2, cos_table, sin_table, positions, num_heads,
+            key_mask, causal, scale, block_q, block_k, _TP_MESH)
+    return _flash_attention_fused_local(
+        q2, k2, v2, cos_table, sin_table, positions, num_heads,
+        key_mask, causal, scale, block_q, block_k)
+
+
+def _flash_attention_fused_local(q2, k2, v2, cos_table, sin_table,
+                                 positions, num_heads, key_mask, causal,
+                                 scale, block_q, block_k):
     b, s, d = q2.shape
     hd = d // num_heads
     if scale is None:
         scale = hd ** -0.5
     s_pad = _round_up(s, max(block_q, block_k))
-    if key_mask is None:
-        key_mask = jnp.ones((b, s), jnp.int32)
 
     half = hd // 2
     cos_g = jnp.pad(cos_table[positions][..., :half],
@@ -689,6 +709,39 @@ def flash_attention_fused(
     o = _flash_attention_padded(q_t, k_t, v_t, kbias, causal, scale,
                                 block_q, block_k)
     return _from_heads(o, jnp.bfloat16, q_t.dtype, num_heads)[:, :s, :]
+
+
+def _flash_attention_fused_tp(q2, k2, v2, cos_table, sin_table, positions,
+                              num_heads, key_mask, causal, scale,
+                              block_q, block_k, mesh):
+    """Fused prologue → flash → epilogue under tensor parallelism.
+
+    The [B, S, H*hd] projection outputs are already GSPMD-sharded
+    (data, ·, model) by the TP weight column sharding, and head-dim
+    shards align to head boundaries when H %% model == 0 — so each shard
+    runs the full fused pipeline on its ``H/model`` local heads with no
+    collectives (out spec == in spec).  RoPE tables and positions are
+    per-head-independent, so they pass through replicated / row-sharded."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from opadpo_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    local_heads = num_heads // n_model
+    feat_spec = P(DATA_AXIS, None, MODEL_AXIS)
+    row_spec = P(DATA_AXIS, None)
+    fn = shard_map(
+        lambda q_, k_, v_, cos_, sin_, pos_, m_: _flash_attention_fused_local(
+            q_, k_, v_, cos_, sin_, pos_, local_heads, m_, causal, scale,
+            block_q, block_k),
+        mesh=mesh,
+        in_specs=(feat_spec, feat_spec, feat_spec, P(None, None),
+                  P(None, None), row_spec, row_spec),
+        out_specs=feat_spec,
+        check_vma=False,
+    )
+    return fn(q2, k2, v2, cos_table, sin_table, positions, key_mask)
 
 
 def _flash_attention_tp(q, k, v, key_mask, causal, scale, mesh):

@@ -78,6 +78,19 @@ def _q8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_scr, *, nk, bk):
         o_ref[0] = (acc_scr[:] * scale[None, :]).astype(o_ref.dtype)
 
 
+def _pick_block_n(n: int, block_n: int) -> int:
+    """Prefer a lane-aligned block_n that DIVIDES n: the jnp.pad of the
+    weight operand is not hoisted out of decode while-loops (profiled at
+    ~90 us/step on the int4 lm_head, N=32000 → 32256), so an aligned
+    no-pad launch beats the nominally better tile."""
+    if n % block_n == 0:
+        return block_n
+    for cand in (640, 768, 384, 256, 128):
+        if n % cand == 0:
+            return cand
+    return block_n
+
+
 def _pick_block_k(k: int, block_n: int,
                   vmem_budget: int = 3 * 1024 * 1024) -> int:
     """Largest K-block (multiple of the 32-sublane int8 tile) whose
@@ -104,6 +117,7 @@ def quant_matmul(
     k2, n = q.shape
     assert k == k2, (x.shape, q.shape)
     out_dtype = out_dtype or x.dtype
+    block_n = _pick_block_n(n, block_n)
     if block_k is None:
         block_k = _pick_block_k(k, block_n)
 
@@ -215,22 +229,37 @@ _STREAMING_MAX_M = 1024
 # matmul on the int8 MXU path (227 TOPS measured on v5e vs 170 TF/s bf16).
 # Off by default — the reference ships bits=16 and weight-only int8 is
 # near-lossless, while per-token activation int8 is a small, documented
-# quality trade (LLM.int8-class, minus bnb's outlier decomposition).
-# Gradients use a straight-through estimator: the backward pass is the
-# same dequantized-bf16 path as weight-only int8.
+# quality trade.  Gradients use a straight-through estimator: the backward
+# pass is the same dequantized-bf16 path as weight-only int8.
+#
+# Outlier decomposition (LLM.int8): emergent-feature columns with large
+# activations dominate the per-token amax and crush the int8 resolution of
+# every other column.  bnb splits columns by a magnitude THRESHOLD, which
+# gives dynamic shapes; the TPU-native form keeps a STATIC top-k — the k
+# largest-amplitude feature columns (per matmul call, via lax.top_k on the
+# column amax) run as a tiny bf16 [M, k] @ [k, N] side matmul, and are
+# zeroed out of the int8 base quantization.  k=0 disables it.
 _ACT_QUANT = False
+_ACT_OUTLIER_COLS = 0
 
 
-def set_act_quant(enabled: bool) -> None:
-    """Toggle w8a8.  Read at trace time — set it BEFORE jitting the
-    functions that should use it (already-compiled programs keep the mode
-    they were traced with)."""
-    global _ACT_QUANT
+def set_act_quant(enabled: bool, outlier_cols: int = None) -> None:
+    """Toggle w8a8 (and optionally the outlier-column count).  Read at
+    trace time — set it BEFORE jitting the functions that should use it
+    (already-compiled programs keep the mode they were traced with)."""
+    global _ACT_QUANT, _ACT_OUTLIER_COLS
     _ACT_QUANT = bool(enabled)
+    if outlier_cols is not None:
+        assert outlier_cols >= 0, outlier_cols
+        _ACT_OUTLIER_COLS = int(outlier_cols)
 
 
 def get_act_quant() -> bool:
     return _ACT_QUANT
+
+
+def get_act_outlier_cols() -> int:
+    return _ACT_OUTLIER_COLS
 
 
 def _rows(x: jax.Array) -> int:
@@ -247,16 +276,35 @@ def _w8a8_nd(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
     Keeps the leading dims intact — an explicit [N,S,K]→[M,K] reshape is a
     physical tiled-layout copy on TPU (profiled at ~25% of decoder time at
     B=4, the round-2 batch-scaling regression); dot_general contracts the
-    last axis natively."""
-    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    ax = jnp.maximum(ax, 1e-8)
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (127.0 / ax)),
-                  -127, 127).astype(jnp.int8)
+    last axis natively.
+
+    With ``_ACT_OUTLIER_COLS > 0`` the top-k amplitude feature columns are
+    carried in bf16 through a side matmul and excluded from the int8 base
+    (static-shape LLM.int8 outlier decomposition — see set_act_quant)."""
     nd = x.ndim
+    x32 = x.astype(jnp.float32)
+    k_out = _ACT_OUTLIER_COLS
+    y_out = 0.0
+    if k_out > 0:
+        col_amax = jnp.max(jnp.abs(x32), axis=tuple(range(nd - 1)))  # [K]
+        _, idx = jax.lax.top_k(col_amax, k_out)
+        x_o = jnp.take_along_axis(
+            x32, jnp.broadcast_to(idx, x.shape[:-1] + (k_out,)), axis=-1)
+        w_o = (jnp.take(q, idx, axis=0).astype(jnp.float32)
+               * scale.reshape(1, -1))                               # [k, N]
+        y_out = jax.lax.dot_general(
+            x_o.astype(jnp.bfloat16), w_o.astype(jnp.bfloat16),
+            (((nd - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        keep = jnp.ones(x.shape[-1], jnp.float32).at[idx].set(0.0)
+        x32 = x32 * keep
+    ax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    ax = jnp.maximum(ax, 1e-8)
+    xq = jnp.clip(jnp.round(x32 * (127.0 / ax)), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(xq, q, (((nd - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * (ax / 127.0) * scale.reshape(
-        (1,) * (nd - 1) + (-1,))
+    y = (acc.astype(jnp.float32) * (ax / 127.0) * scale.reshape(
+        (1,) * (nd - 1) + (-1,)) + y_out)
     return y.astype(x.dtype)
 
 
@@ -443,6 +491,7 @@ def quant_matmul4(
     ngroups = scale.shape[0]
     g = k // ngroups
     out_dtype = out_dtype or x.dtype
+    block_n = _pick_block_n(n, block_n)
     if block_k is None:
         # budget the packed block ([bk/2, bn] int8) like the int8 kernel
         bk_cap = max(g, (2 * 3 * 1024 * 1024 // block_n) // g * g)

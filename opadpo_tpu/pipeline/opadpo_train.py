@@ -74,6 +74,7 @@ def train(cfg: Config) -> None:
         seed=int(t.get("seed", 42)),
         bits=int(t.get("bits", 16)),
         act_bits=int(t.get("act_bits", 16)),
+        act_outlier_cols=int(t.get("act_outlier_cols", 0)),
         fused_attention=bool(t.get("fused_attention", True)),
     )
     n_data = mesh.shape["data"]

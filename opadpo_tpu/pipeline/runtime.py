@@ -89,6 +89,7 @@ def setup_model(
     seed: int = 42,
     bits: int = 16,
     act_bits: int = 16,
+    act_outlier_cols: int = 0,
     fused_attention: bool = True,
 ) -> Tuple[LlavaConfig, dict, "jax.sharding.Mesh"]:
     """(cfg, params, mesh).  ``skip_loading_weights`` builds a random-init
@@ -132,9 +133,11 @@ def setup_model(
         if bits != 8:
             raise ValueError("act_bits=8 requires bits=8")
         # w8a8: int8 MXU matmuls with per-token activation quantization
-        # (opt-in; small documented quality trade — ops/quant.py)
+        # (opt-in; small documented quality trade — ops/quant.py).
+        # act_outlier_cols > 0 adds static-k LLM.int8 outlier decomposition
+        # (top-k amplitude columns stay bf16).
         from opadpo_tpu.ops.quant import set_act_quant
-        set_act_quant(True)
+        set_act_quant(True, outlier_cols=act_outlier_cols)
     elif act_bits != 16:
         raise ValueError(f"act_bits={act_bits} unsupported (16 or 8)")
 

@@ -30,6 +30,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bits", type=int, default=8, choices=(16, 8, 4))
+    p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8))
+    p.add_argument("--head-bits", type=int, default=16, choices=(16, 8, 4))
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--steps", type=int, default=128)
     p.add_argument("--query-len", type=int, default=128)
@@ -50,6 +52,7 @@ def main():
         if args.bits in (4, 8):
             params = quant.quantize_params(params, bits=args.bits)
         llama = llama_model.fuse_for_inference(params["llama"])
+        llama = llama_model.quantize_head_for_decode(llama, args.head_bits)
         return {**params, "llama": llama_model.unstack_layers(llama)}
 
     shapes = jax.eval_shape(build)
@@ -72,9 +75,14 @@ def main():
     sampling = SamplingConfig(max_new_tokens=args.steps, temperature=1.0,
                               top_k=30, top_p=0.95, eos_token_id=-1,
                               pad_token_id=0)
+    kv_list = pf["kv_list"]
+    if args.kv_bits == 8:
+        kv_list = jax.jit(lambda kv: llama_model.quantize_prompt_kv_list(
+            list(kv)))(tuple(kv_list))
+
     dec = jax.jit(lambda p, pk, pm, pos, ll, r: decode_loop_unrolled(
         p, cfg, pk, pm, pos, ll, r, sampling))
-    dargs = (params, tuple(pf["kv_list"]), pf["key_mask"],
+    dargs = (params, tuple(kv_list), pf["key_mask"],
              pf["next_position"], pf["last_logits"], jax.random.PRNGKey(1))
     out = dec(*dargs)
     _ = int(jnp.sum(out))
@@ -83,7 +91,8 @@ def main():
     _ = int(jnp.sum(out))
     dt = time.perf_counter() - t0
     sps = args.steps / dt
-    print(f"bits={args.bits} B={b}: {sps:.1f} steps/s "
+    print(f"bits={args.bits} kv={args.kv_bits} head={args.head_bits} "
+          f"B={b}: {sps:.1f} steps/s "
           f"({sps*b:.0f} tok/s), {dt/args.steps*1e3:.2f} ms/step")
 
 

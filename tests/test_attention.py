@@ -125,31 +125,82 @@ def test_flash_attention_fused_matches_unfused():
 
 def test_use_fused_flash_dispatch(monkeypatch):
     """The fused-prologue dispatch guards: TPU-only, MHA-only, 128-aligned
-    heads, no TP mesh, honors impl overrides and the kill switch."""
+    heads, mesh-divisible shapes under TP, honors impl overrides and the
+    kill switch."""
     from opadpo_tpu.models.llama import _use_fused_flash
     from opadpo_tpu.ops import attention as att
 
     # CPU backend → never fused
-    assert not _use_fused_flash("auto", 1599, 32, 32, 128)
+    assert not _use_fused_flash("auto", 1599, 4, 32, 32, 128)
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    assert _use_fused_flash("auto", 1599, 32, 32, 128)
-    assert _use_fused_flash("flash", 1599, 32, 32, 128)
-    assert not _use_fused_flash("xla", 1599, 32, 32, 128)
-    assert not _use_fused_flash("auto", 1599, 32, 8, 128)    # GQA
-    assert not _use_fused_flash("auto", 1599, 32, 32, 64)    # hd unaligned
-    assert not _use_fused_flash("auto", 8192, 32, 32, 128)   # too long
+    assert _use_fused_flash("auto", 1599, 4, 32, 32, 128)
+    assert _use_fused_flash("flash", 1599, 4, 32, 32, 128)
+    assert not _use_fused_flash("xla", 1599, 4, 32, 32, 128)
+    assert not _use_fused_flash("auto", 1599, 4, 32, 8, 128)    # GQA
+    assert not _use_fused_flash("auto", 1599, 4, 32, 32, 64)    # hd unaligned
+    assert not _use_fused_flash("auto", 8192, 4, 32, 32, 128)   # too long
 
     att.set_fused_attention(False)
     try:
-        assert not _use_fused_flash("auto", 1599, 32, 32, 128)
+        assert not _use_fused_flash("auto", 1599, 4, 32, 32, 128)
     finally:
         att.set_fused_attention(True)
 
     class FakeMesh:
-        shape = {"data": 1, "model": 2}
+        shape = {"data": 2, "model": 2}
     att.set_tp_mesh(FakeMesh())
     try:
-        assert not _use_fused_flash("auto", 1599, 32, 32, 128)
+        # divisible batch/heads → fused runs inside the TP shard_map
+        assert _use_fused_flash("auto", 1599, 4, 32, 32, 128)
+        # heads not divisible by the model axis → unfused fallback
+        assert not _use_fused_flash("auto", 1599, 4, 31, 31, 128)
+        # batch not divisible by the data axis → unfused fallback
+        assert not _use_fused_flash("auto", 1599, 3, 32, 32, 128)
     finally:
         att.set_tp_mesh(None)
+
+
+def test_flash_attention_fused_tp_matches_local():
+    """flash_attention_fused under a registered TP mesh (shard_map over
+    the 8-device CPU mesh, head-sharded feature axis) == the no-mesh
+    path.  Exercises _flash_attention_fused_tp including the bwd."""
+    from opadpo_tpu.ops import attention as att
+    from opadpo_tpu.ops.attention import flash_attention_fused
+    from opadpo_tpu.ops.rope import rope_frequencies
+    from opadpo_tpu.parallel import MeshConfig, make_mesh
+
+    b, s, h, hd = 4, 50, 4, 128
+    d = h * hd
+    cos, sin = rope_frequencies(hd, 128, 10000.0)
+    rng = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q2 = jax.random.normal(k1, (b, s, d), jnp.float32) * 0.3
+    kk2 = jax.random.normal(k2, (b, s, d), jnp.float32) * 0.3
+    v2 = jax.random.normal(k3, (b, s, d), jnp.float32) * 0.3
+    positions = jnp.tile(jnp.arange(s, dtype=jnp.int32)[None], (b, 1))
+    km = jnp.ones((b, s), jnp.int32).at[:, -5:].set(0)
+
+    def f(q2, kk2, v2):
+        o = flash_attention_fused(q2, kk2, v2, cos, sin, positions, h,
+                                  key_mask=km, causal=True)
+        return o.astype(jnp.float32)
+
+    o_local = f(q2, kk2, v2)
+    g_local = jax.grad(lambda *a: jnp.sum(f(*a) ** 2), argnums=(0, 1, 2))(
+        q2, kk2, v2)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    att.set_tp_mesh(mesh)
+    try:
+        o_tp = jax.jit(f)(q2, kk2, v2)
+        g_tp = jax.jit(jax.grad(lambda *a: jnp.sum(f(*a) ** 2),
+                                argnums=(0, 1, 2)))(q2, kk2, v2)
+    finally:
+        att.set_tp_mesh(None)
+
+    np.testing.assert_allclose(np.asarray(o_tp), np.asarray(o_local),
+                               atol=2e-2, rtol=2e-2)
+    for gl, gt in zip(g_local, g_tp):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gl),
+                                   atol=5e-2, rtol=5e-2)

@@ -212,6 +212,46 @@ def test_act_quant_flag_switches_large_m_path(monkeypatch):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+
+def test_w8a8_outlier_decomposition_restores_accuracy():
+    """Static-k outlier decomposition (LLM.int8): with a few huge
+    emergent-feature columns, plain per-token int8 loses most of the
+    signal resolution; carrying the top-k columns in bf16 restores it."""
+    import numpy as np
+    from opadpo_tpu.ops import quant
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(64, 256)).astype(np.float32)
+    x[:, [3, 100, 200]] *= 80.0          # emergent outlier columns
+    x = jnp.asarray(x)
+    w = jnp.asarray(rng.normal(size=(256, 128)) * 0.05, jnp.float32)
+    wq = quant.quantize_weight(w)
+    ref = np.asarray(x @ quant.dequantize_weight(wq, dtype=jnp.float32))
+    scale = np.abs(ref).mean()
+
+    plain = np.asarray(quant._w8a8_nd(x, wq["q"], wq["scale"]))
+    quant.set_act_quant(False, outlier_cols=8)
+    try:
+        decomp = np.asarray(quant._w8a8_nd(x, wq["q"], wq["scale"]))
+    finally:
+        quant.set_act_quant(False, outlier_cols=0)
+
+    err_plain = np.abs(plain - ref).mean() / scale
+    err_decomp = np.abs(decomp - ref).mean() / scale
+    assert err_decomp < 0.02, err_decomp
+    assert err_decomp < err_plain / 3, (err_plain, err_decomp)
+
+    # leading-dims path agrees with 2D
+    quant.set_act_quant(False, outlier_cols=8)
+    try:
+        d3 = np.asarray(quant._w8a8_nd(x.reshape(4, 16, 256),
+                                       wq["q"], wq["scale"]))
+    finally:
+        quant.set_act_quant(False, outlier_cols=0)
+    np.testing.assert_allclose(d3.reshape(64, 128), decomp,
+                               rtol=1e-5, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # int4 (bits=4, reference bnb 4-bit path)
 # ---------------------------------------------------------------------------

@@ -140,3 +140,76 @@ def test_top_k_plus_top_p_support_and_distribution():
     expect = np.array([0.4, 0.3, 0.15])
     expect = expect / expect.sum()
     np.testing.assert_allclose(freq, expect, atol=0.04)
+
+def test_int8_prompt_kv_decode_matches_bf16():
+    """kv_bits=8 (int8 prompt-KV cache): greedy decode tokens match the
+    full-precision KV path on the tiny f32 model, and one direct
+    decode_step_unrolled call has close logits."""
+    import dataclasses
+    from opadpo_tpu.engine.sampler import Sampler
+    from opadpo_tpu.models import llama as llama_model
+    cfg32 = LlavaConfig(
+        dataclasses.replace(CFG.llama, dtype=jnp.float32),
+        dataclasses.replace(CFG.vision, dtype=jnp.float32),
+        dataclasses.replace(CFG.projector, dtype=jnp.float32))
+    params32 = llava_model.init_params(jax.random.PRNGKey(0), cfg32)
+    ids, mask, images = _inputs()
+    sampling = SamplingConfig(greedy=True, max_new_tokens=5,
+                              eos_token_id=-1)
+    ref = Sampler(cfg32, sampling).generate(
+        params32, ids, mask, images, jax.random.PRNGKey(0))
+    out = Sampler(cfg32, sampling, kv_bits=8).generate(
+        params32, ids, mask, images, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # direct logits comparison through one unrolled decode step
+    up, _ = llava_model.unstack_for_decode(params32, None)
+    pf = llava_model.prefill_unrolled(up, cfg32, ids, mask, images)
+    kv_q = llama_model.quantize_prompt_kv_list(list(pf["kv_list"]))
+    tok = jnp.full((ids.shape[0],), 7, jnp.int32)
+    step = jnp.zeros((), jnp.int32)
+    nkv, hd = cfg32.llama.num_kv_heads, cfg32.llama.head_dim
+    suffix = [(jnp.zeros((2, 4, nkv, hd), jnp.float32),
+               jnp.zeros((2, 4, nkv, hd), jnp.float32))
+              for _ in range(len(pf["kv_list"]))]
+    lg_ref, _ = llava_model.decode_step_unrolled(
+        up, cfg32, tok, list(pf["kv_list"]), pf["key_mask"],
+        list(suffix), step, pf["next_position"])
+    lg_q, _ = llava_model.decode_step_unrolled(
+        up, cfg32, tok, kv_q, pf["key_mask"],
+        list(suffix), step, pf["next_position"])
+    np.testing.assert_allclose(np.asarray(lg_q), np.asarray(lg_ref),
+                               atol=0.05, rtol=0.05)
+
+def test_quantized_decode_head_logits_close():
+    """head_bits 8/4: decode logits through the quantized lm_head stay
+    close to the bf16 head (decode-only layout; quantize_head_for_decode)."""
+    import dataclasses
+    from opadpo_tpu.models import llama as llama_model
+    cfg32 = LlavaConfig(
+        dataclasses.replace(CFG.llama, dtype=jnp.float32),
+        dataclasses.replace(CFG.vision, dtype=jnp.float32),
+        dataclasses.replace(CFG.projector, dtype=jnp.float32))
+    params32 = llava_model.init_params(jax.random.PRNGKey(0), cfg32)
+    ids, mask, images = _inputs()
+    up, _ = llava_model.unstack_for_decode(params32, None)
+    pf = llava_model.prefill_unrolled(up, cfg32, ids, mask, images)
+    tok = jnp.full((ids.shape[0],), 7, jnp.int32)
+    step = jnp.zeros((), jnp.int32)
+    nkv, hd = cfg32.llama.num_kv_heads, cfg32.llama.head_dim
+    suffix = [(jnp.zeros((2, 4, nkv, hd), jnp.float32),
+               jnp.zeros((2, 4, nkv, hd), jnp.float32))
+              for _ in range(len(pf["kv_list"]))]
+    lg_ref, _ = llava_model.decode_step_unrolled(
+        up, cfg32, tok, list(pf["kv_list"]), pf["key_mask"],
+        list(suffix), step, pf["next_position"])
+    for bits in (8, 4):
+        upq = dict(up)
+        upq["llama"] = llama_model.quantize_head_for_decode(up["llama"], bits)
+        assert isinstance(upq["llama"]["lm_head"], dict)
+        lg_q, _ = llava_model.decode_step_unrolled(
+            upq, cfg32, tok, list(pf["kv_list"]), pf["key_mask"],
+            list(suffix), step, pf["next_position"])
+        tol = 0.05 if bits == 8 else 0.2
+        np.testing.assert_allclose(np.asarray(lg_q), np.asarray(lg_ref),
+                                   atol=tol, rtol=tol)
