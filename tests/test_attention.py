@@ -204,3 +204,46 @@ def test_flash_attention_fused_tp_matches_local():
     for gl, gt in zip(g_local, g_tp):
         np.testing.assert_allclose(np.asarray(gt), np.asarray(gl),
                                    atol=5e-2, rtol=5e-2)
+
+
+def test_decode_attention_prompt_kernel_matches_reference():
+    """decode_attention_prompt (interpret mode): unnormalized out/m/l over
+    a padded, masked int8 prompt cache match a dense softmax reference,
+    including the multi-s-block online-softmax path."""
+    from opadpo_tpu.ops.decode_attention import decode_attention_prompt
+
+    rng = np.random.default_rng(0)
+    b, h, hd = 2, 4, 128
+    for sp, sp_real, block_s in ((256, 200, 1024), (512, 470, 256)):
+        q = jnp.asarray(rng.standard_normal((b, h, hd)) * 0.4, jnp.float32)
+        pk = jnp.asarray(rng.integers(-127, 128, (b, h, sp, hd)), jnp.int8)
+        pv = jnp.asarray(rng.integers(-127, 128, (b, h, sp, hd)), jnp.int8)
+        ks = jnp.asarray(
+            np.abs(rng.standard_normal((b, h, sp))) * 0.01 + 1e-4,
+            jnp.float32)
+        vs = jnp.asarray(
+            np.abs(rng.standard_normal((b, h, sp))) * 0.01 + 1e-4,
+            jnp.float32)
+        bias_np = np.zeros((b, sp), np.float32)
+        bias_np[:, sp_real:] = -1e30
+        bias_np[0, 3] = -1e30          # a masked in-range position
+        bias = jnp.asarray(bias_np)
+        sm = hd ** -0.5
+
+        s = jnp.einsum("bhd,bhsd->bhs", q, pk.astype(jnp.float32)
+                       ) * ks * sm + bias[:, None, :]
+        m_ref = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m_ref[..., None])
+        l_ref = jnp.sum(p, axis=-1)
+        o_ref = jnp.einsum("bhs,bhsd->bhd", p * vs, pv.astype(jnp.float32))
+
+        o, m, l = decode_attention_prompt(q, pk, ks, pv, vs, bias, sm,
+                                          block_s=block_s)
+        # merged output o/l must match the normalized reference closely
+        np.testing.assert_allclose(
+            np.asarray(o / l[..., None]),
+            np.asarray(o_ref / l_ref[..., None]), atol=2e-2, rtol=2e-2)
+        # the flash state must agree after normalization by exp(m)
+        np.testing.assert_allclose(
+            np.asarray(jnp.log(l) + m), np.asarray(jnp.log(l_ref) + m_ref),
+            atol=1e-3, rtol=1e-3)
