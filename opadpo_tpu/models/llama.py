@@ -466,7 +466,7 @@ def quantize_prompt_kv(kv: jax.Array) -> dict:
     # are 0 so padded K scores the kernel's additive bias alone (−1e30)
     # and padded V rows contribute nothing
     sp = q.shape[2]
-    sp_pad = -(-sp // 256) * 256
+    sp_pad = -(-sp // 128) * 128
     if sp_pad != sp:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sp_pad - sp), (0, 0)))
         scale = jnp.pad(scale, ((0, 0), (0, 0), (0, sp_pad - sp)))
@@ -477,6 +477,44 @@ def quantize_prompt_kv_list(kv_list: list) -> list:
     """[(pk, pv), ...] → [(pk_q, pv_q), ...] for decode_forward_unrolled."""
     return [(quantize_prompt_kv(pk), quantize_prompt_kv(pv))
             for pk, pv in kv_list]
+
+
+def append_suffix_to_prompt_kv(kv_list: list, suffix_list: list,
+                               prompt_mask: jax.Array,
+                               filled: jax.Array) -> tuple:
+    """Fold a decode suffix buffer into the quantized prompt cache.
+
+    The bf16 suffix carry grows linearly during generation and its
+    attention cost with it (measured: 896-step rollouts average
+    17.5 ms/step at B=8 vs 11.1 over the first 128 steps).  Chunked
+    decode re-quantizes the suffix every ``chunk`` steps and appends it
+    to the int8 head-major prompt cache, so the mutable carry stays
+    small and the fused decode-attention kernel covers all older
+    context.
+
+    ``filled`` (scalar int) = number of suffix slots actually written;
+    later slots are masked out via the returned mask.  The suffix length
+    must be a multiple of 128 so the quantizer adds no internal padding.
+    Returns ``(new_kv_list, new_prompt_mask)`` with the mask in CACHE
+    layout (length == padded cache length)."""
+    c = suffix_list[0][0].shape[1]
+    new_kv = []
+    for (pk, pv), (sk, sv) in zip(kv_list, suffix_list):
+        qk = quantize_prompt_kv(sk)
+        qv = quantize_prompt_kv(sv)
+        assert qk["q"].shape[2] == c, (qk["q"].shape, c)
+        new_kv.append((
+            {"q": jnp.concatenate([pk["q"], qk["q"]], axis=2),
+             "scale": jnp.concatenate([pk["scale"], qk["scale"]], axis=2)},
+            {"q": jnp.concatenate([pv["q"], qv["q"]], axis=2),
+             "scale": jnp.concatenate([pv["scale"], qv["scale"]], axis=2)},
+        ))
+    b = prompt_mask.shape[0]
+    chunk_mask = (jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+                  < filled).astype(prompt_mask.dtype)
+    new_mask = jnp.concatenate(
+        [prompt_mask, jnp.broadcast_to(chunk_mask, (b, c))], axis=1)
+    return new_kv, new_mask
 
 
 def _decode_layer(x, lp, ll, pk, pv, sk, sv, *, cfg, lora_scaling,

@@ -30,7 +30,7 @@ Design (flash-decode with one query token):
   standard logsumexp merge — the decode loop's suffix carry layout stays
   untouched.
 
-The prompt cache must be padded to a multiple of the s-block (256); pad
+The prompt cache must be padded to a multiple of the s-block (128); pad
 positions carry bias −1e30 (``models/llama.quantize_prompt_kv`` emits
 this layout).  Reference equivalent: the HF attention inside ``generate``
 (rl_models.py:146-191) — redesigned rather than translated.

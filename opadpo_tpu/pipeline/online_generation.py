@@ -186,7 +186,8 @@ def run(cfg: Config) -> None:
 
     sampler = Sampler(llava_cfg, sampling, lora_scaling=lora_scaling,
                       kv_bits=int(t.get("kv_bits", 16)),
-                      head_bits=int(t.get("head_bits", 16)))
+                      head_bits=int(t.get("head_bits", 16)),
+                      chunk=int(t.get("decode_chunk", 0)))
     # rebind to the per-layer decode layout so the stacked weight copy
     # frees (7B int8: 7 GB; holding both layouts would OOM the chip)
     params, lora = sampler.prepare_params(params, lora)

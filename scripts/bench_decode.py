@@ -32,6 +32,9 @@ def main():
     p.add_argument("--bits", type=int, default=8, choices=(16, 8, 4))
     p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8))
     p.add_argument("--head-bits", type=int, default=16, choices=(16, 8, 4))
+    p.add_argument("--chunk", type=int, default=0,
+                   help="chunked decode: fold the suffix into the int8 "
+                        "prompt cache every CHUNK steps (needs --kv-bits 8)")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--steps", type=int, default=128)
     p.add_argument("--query-len", type=int, default=128)
@@ -79,6 +82,47 @@ def main():
     if args.kv_bits == 8:
         kv_list = jax.jit(lambda kv: llama_model.quantize_prompt_kv_list(
             list(kv)))(tuple(kv_list))
+
+    if args.chunk:
+        assert args.kv_bits == 8 and args.chunk % 128 == 0
+        c = args.chunk
+        chunk_fn = jax.jit(
+            lambda p, kv, pm, pos, ll, r, d0: decode_loop_unrolled(
+                p, cfg, list(kv), pm, pos, ll, r, sampling,
+                done_init=d0, max_new=c, return_state=True))
+        append_fn = jax.jit(
+            lambda kv, sfx, pm, filled:
+            llama_model.append_suffix_to_prompt_kv(
+                list(kv), list(sfx), pm, filled))
+
+        def run_chunked(kv0, rng):
+            sp_pad = kv0[0][0]["q"].shape[2]
+            pm = jnp.pad(pf["key_mask"],
+                         ((0, 0), (0, sp_pad - pf["key_mask"].shape[1])))
+            kv = tuple(kv0)
+            pos, ll = pf["next_position"], pf["last_logits"]
+            done = jnp.zeros((b,), bool)
+            n = 0
+            for ci in range(-(-args.steps // c)):
+                out_c, st = chunk_fn(params, kv, pm, pos, ll, rng, done)
+                n += int(st["step"])
+                done, rng = st["done"], st["rng"]
+                pos, ll = st["positions"], st["last_logits"]
+                if ci < -(-args.steps // c) - 1:
+                    kv, pm = append_fn(kv, st["suffix"], pm, st["step"])
+                    kv = tuple(kv)
+            _ = int(jnp.sum(out_c))
+            return n
+
+        run_chunked(kv_list, jax.random.PRNGKey(1))     # compile all shapes
+        t0 = time.perf_counter()
+        n = run_chunked(kv_list, jax.random.PRNGKey(1))
+        dt = time.perf_counter() - t0
+        sps = n / dt
+        print(f"bits={args.bits} kv={args.kv_bits} head={args.head_bits} "
+              f"chunk={c} B={b}: {sps:.1f} steps/s "
+              f"({sps*b:.0f} tok/s), {dt/n*1e3:.2f} ms/step")
+        return
 
     dec = jax.jit(lambda p, pk, pm, pos, ll, r: decode_loop_unrolled(
         p, cfg, pk, pm, pos, ll, r, sampling))

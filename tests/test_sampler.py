@@ -213,3 +213,39 @@ def test_quantized_decode_head_logits_close():
         tol = 0.05 if bits == 8 else 0.2
         np.testing.assert_allclose(np.asarray(lg_q), np.asarray(lg_ref),
                                    atol=tol, rtol=tol)
+
+def test_chunked_decode_matches_single_chunk():
+    """Sampler(chunk=...): a chunk large enough to never fold matches the
+    plain kv_bits=8 path exactly; a small chunk exercises the
+    append/fold path and stays deterministic with correct shapes."""
+    import dataclasses
+    from opadpo_tpu.engine.sampler import Sampler
+    cfg32 = LlavaConfig(
+        dataclasses.replace(CFG.llama, dtype=jnp.float32),
+        dataclasses.replace(CFG.vision, dtype=jnp.float32),
+        dataclasses.replace(CFG.projector, dtype=jnp.float32))
+    params32 = llava_model.init_params(jax.random.PRNGKey(0), cfg32)
+    ids, mask, images = _inputs()
+    sampling = SamplingConfig(greedy=True, max_new_tokens=6,
+                              eos_token_id=-1)
+    ref = Sampler(cfg32, sampling, kv_bits=8).generate(
+        params32, ids, mask, images, jax.random.PRNGKey(0))
+    # one big chunk: identical math, no fold
+    out1 = Sampler(cfg32, sampling, kv_bits=8, chunk=128).generate(
+        params32, ids, mask, images, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out1[:, :6]),
+                                  np.asarray(ref))
+
+    # small chunks over a longer run: fold path runs; deterministic
+    sampling_long = SamplingConfig(greedy=True, max_new_tokens=140,
+                                   eos_token_id=-1)
+    s = Sampler(cfg32, sampling_long, kv_bits=8, chunk=128)
+    outa = s.generate(params32, ids, mask, images, jax.random.PRNGKey(0))
+    outb = s.generate(params32, ids, mask, images, jax.random.PRNGKey(0))
+    assert outa.shape == (2, 140)
+    np.testing.assert_array_equal(np.asarray(outa), np.asarray(outb))
+    # first chunk must equal the no-fold reference's first 128 tokens
+    ref_long = Sampler(cfg32, sampling_long, kv_bits=8).generate(
+        params32, ids, mask, images, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(outa[:, :128]),
+                                  np.asarray(ref_long[:, :128]))
