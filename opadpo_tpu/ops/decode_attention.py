@@ -113,10 +113,14 @@ def decode_attention_prompt(
     b, h, sp, hd = pk_q.shape
     hblk = min(block_h, h)
     assert h % hblk == 0, (h, hblk)
-    sblk = sp
-    for cand in (block_s, 768, 512, 256, 128):
-        if cand <= sp and sp % cand == 0:
-            sblk = cand
+    # largest divisor of sp that is a 128-multiple and fits the VMEM cap:
+    # a fixed candidate list degraded to 128-wide blocks on lengths like
+    # 896/1152 (chunked-decode growth steps), measured 15% slower
+    sblk = 128
+    for nsb_c in range(1, sp // 128 + 1):
+        if sp % nsb_c == 0 and sp // nsb_c <= block_s \
+                and (sp // nsb_c) % 128 == 0:
+            sblk = sp // nsb_c
             break
     nsb = sp // sblk
     grid = (b, h // hblk, nsb)
