@@ -90,6 +90,7 @@ def run_inference(
     model_id: str = "llava-tpu",
     kv_bits: int = 16,
     head_bits: int = 16,
+    decode_chunk: int = 0,
 ) -> None:
     sampling = SamplingConfig(
         greedy=(temperature == 0.0), temperature=max(temperature, 1e-4),
@@ -98,7 +99,8 @@ def run_inference(
         max_new_tokens=max_new_tokens)
 
     sampler = Sampler(cfg, sampling, lora_scaling=lora_scaling,
-                      kv_bits=kv_bits, head_bits=head_bits)
+                      kv_bits=kv_bits, head_bits=head_bits,
+                      chunk=decode_chunk)
     # per-layer decode layout; rebind so the stacked weights free
     params, lora = sampler.prepare_params(params, lora)
 
@@ -176,6 +178,7 @@ def main():
     p.add_argument("--short_eval", action="store_true")
     p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8))
     p.add_argument("--head-bits", type=int, default=16, choices=(16, 8, 4))
+    p.add_argument("--decode-chunk", type=int, default=0)
     args = p.parse_args()
 
     from opadpo_tpu.models.loader import load_peft_adapter
@@ -203,7 +206,8 @@ def main():
                   batch_size=args.batch_size,
                   max_new_tokens=args.max_new_tokens,
                   temperature=args.temperature, short_eval=args.short_eval,
-                  kv_bits=args.kv_bits, head_bits=args.head_bits)
+                  kv_bits=args.kv_bits, head_bits=args.head_bits,
+                  decode_chunk=args.decode_chunk)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,8 @@ class InferenceWorker:
     def __init__(self, params, cfg, tokenizer, lora=None,
                  lora_scaling: float = 1.0, max_batch: int = 8,
                  max_new_tokens: int = 512, batch_window_s: float = 0.02,
-                 kv_bits: int = 16, head_bits: int = 16):
+                 kv_bits: int = 16, head_bits: int = 16,
+                 decode_chunk: int = 0):
         from opadpo_tpu.engine.sampler import Sampler
         from opadpo_tpu.engine.sampling import SamplingConfig
 
@@ -52,7 +53,8 @@ class InferenceWorker:
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id)
         self.sampler = Sampler(cfg, self.sampling, lora_scaling=lora_scaling,
-                               kv_bits=kv_bits, head_bits=head_bits)
+                               kv_bits=kv_bits, head_bits=head_bits,
+                               chunk=decode_chunk)
         self.params, self.lora = self.sampler.prepare_params(self.params,
                                                              self.lora)
         self.rng = jax.random.PRNGKey(0)
