@@ -361,12 +361,15 @@ class Sampler:
         total = self.sampling.max_new_tokens
         b = key_mask.shape[0]
         if self._chunk_fn is None:
+            # n is static: the FINAL chunk is capped to the remaining
+            # budget (otherwise a 896-token run with c=256 would execute
+            # 1024 steps and waste the overshoot)
             self._chunk_fn = jax.jit(
-                lambda p, lo, kv, pm, pos, ll, r, d0: decode_loop_unrolled(
+                lambda p, lo, kv, pm, pos, ll, r, d0, n: decode_loop_unrolled(
                     p, self.cfg, list(kv), pm, pos, ll, r, self.sampling,
                     lora=lo, lora_scaling=self.lora_scaling,
-                    done_init=d0, max_new=c, return_state=True),
-                static_argnames=())
+                    done_init=d0, max_new=n, return_state=True),
+                static_argnums=(8,))
             self._append_fn = jax.jit(
                 lambda kv, sfx, pm, filled:
                 llama_model.append_suffix_to_prompt_kv(
@@ -378,8 +381,9 @@ class Sampler:
         outs = []
         kv = tuple(kv_list)
         for ci in range(-(-total // c)):
+            n = min(c, total - ci * c)
             out_c, st = self._chunk_fn(params, lora, kv, pm, positions,
-                                       last_logits, rng, done)
+                                       last_logits, rng, done, n)
             outs.append(np.asarray(out_c))
             done = st["done"]
             rng, positions, last_logits = (st["rng"], st["positions"],

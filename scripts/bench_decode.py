@@ -87,9 +87,10 @@ def main():
         assert args.kv_bits == 8 and args.chunk % 128 == 0
         c = args.chunk
         chunk_fn = jax.jit(
-            lambda p, kv, pm, pos, ll, r, d0: decode_loop_unrolled(
+            lambda p, kv, pm, pos, ll, r, d0, n: decode_loop_unrolled(
                 p, cfg, list(kv), pm, pos, ll, r, sampling,
-                done_init=d0, max_new=c, return_state=True))
+                done_init=d0, max_new=n, return_state=True),
+            static_argnums=(7,))
         append_fn = jax.jit(
             lambda kv, sfx, pm, filled:
             llama_model.append_suffix_to_prompt_kv(
@@ -104,7 +105,8 @@ def main():
             done = jnp.zeros((b,), bool)
             n = 0
             for ci in range(-(-args.steps // c)):
-                out_c, st = chunk_fn(params, kv, pm, pos, ll, rng, done)
+                nc = min(c, args.steps - ci * c)
+                out_c, st = chunk_fn(params, kv, pm, pos, ll, rng, done, nc)
                 n += int(st["step"])
                 done, rng = st["done"], st["rng"]
                 pos, ll = st["positions"], st["last_logits"]
