@@ -249,3 +249,54 @@ def test_chunked_decode_matches_single_chunk():
         params32, ids, mask, images, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(outa[:, :128]),
                                   np.asarray(ref_long[:, :128]))
+
+def test_append_suffix_fold_preserves_decode_logits():
+    """llama.append_suffix_to_prompt_kv: one decode step with KV held in
+    the bf16 suffix buffer == the same KV folded into the int8 prompt
+    cache (within prompt-KV quantization tolerance) — validates the
+    fold's layout, masks, scales, and position handling."""
+    import dataclasses
+    from opadpo_tpu.models import llama as llama_model
+    cfg32 = LlavaConfig(
+        dataclasses.replace(CFG.llama, dtype=jnp.float32),
+        dataclasses.replace(CFG.vision, dtype=jnp.float32),
+        dataclasses.replace(CFG.projector, dtype=jnp.float32))
+    params32 = llava_model.init_params(jax.random.PRNGKey(0), cfg32)
+    ids, mask, images = _inputs()
+    up, _ = llava_model.unstack_for_decode(params32, None)
+    pf = llava_model.prefill_unrolled(up, cfg32, ids, mask, images)
+    kv_q = llama_model.quantize_prompt_kv_list(list(pf["kv_list"]))
+    b = ids.shape[0]
+    nkv, hd = cfg32.llama.num_kv_heads, cfg32.llama.head_dim
+    sp_pad = kv_q[0][0]["q"].shape[2]
+    pm_cache = jnp.pad(pf["key_mask"],
+                       ((0, 0), (0, sp_pad - pf["key_mask"].shape[1])))
+
+    # generate a 128-slot suffix with 3 filled slots of real KV by
+    # running 3 greedy decode steps
+    c = 128
+    suffix = [(jnp.zeros((b, c, nkv, hd), jnp.float32),
+               jnp.zeros((b, c, nkv, hd), jnp.float32))
+              for _ in range(len(kv_q))]
+    pos = pf["next_position"]
+    tok = jnp.full((b,), 7, jnp.int32)
+    for i in range(3):
+        lg, suffix = llava_model.decode_step_unrolled(
+            up, cfg32, tok, kv_q, pm_cache, list(suffix),
+            jnp.asarray(i), pos)
+        pos = pos + 1
+        tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+
+    # (a) 4th step with the suffix as-is
+    lg_a, _ = llava_model.decode_step_unrolled(
+        up, cfg32, tok, kv_q, pm_cache, list(suffix), jnp.asarray(3), pos)
+    # (b) fold the suffix (3 filled slots) into the cache, empty suffix
+    kv2, pm2 = llama_model.append_suffix_to_prompt_kv(
+        list(kv_q), list(suffix), pm_cache, jnp.asarray(3))
+    empty = [(jnp.zeros((b, c, nkv, hd), jnp.float32),
+              jnp.zeros((b, c, nkv, hd), jnp.float32))
+             for _ in range(len(kv_q))]
+    lg_b, _ = llava_model.decode_step_unrolled(
+        up, cfg32, tok, kv2, pm2, empty, jnp.asarray(0), pos)
+    np.testing.assert_allclose(np.asarray(lg_b), np.asarray(lg_a),
+                               atol=0.05, rtol=0.05)
