@@ -111,8 +111,14 @@ def decode_attention_prompt(
     ``out / l`` after merging with the suffix piece (see
     ``models/llama._decode_layer``)."""
     b, h, sp, hd = pk_q.shape
-    hblk = min(block_h, h)
-    assert h % hblk == 0, (h, hblk)
+    # largest divisor of h that fits the block cap: h=32 → 16, but 13B's
+    # h=40 → 8 (min(16, 40) = 16 does not divide 40 and crashed the int8-KV
+    # decode path on 13B)
+    hblk = 1
+    for cand in range(min(block_h, h), 0, -1):
+        if h % cand == 0:
+            hblk = cand
+            break
     # largest divisor of sp that is a 128-multiple and fits the VMEM cap:
     # a fixed candidate list degraded to 128-wide blocks on lengths like
     # 896/1152 (chunked-decode growth steps), measured 15% slower

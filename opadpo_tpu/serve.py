@@ -178,6 +178,12 @@ def main():
     p.add_argument("--bits", type=int, default=16, choices=(16, 8, 4))
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=512)
+    p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8),
+                   help="int8 prompt-KV cache + fused decode-attention")
+    p.add_argument("--head-bits", type=int, default=16, choices=(16, 4),
+                   help="int4 lm_head during decode")
+    p.add_argument("--decode-chunk", type=int, default=0,
+                   help="fold suffix KV into the prompt cache every N steps")
     args = p.parse_args()
 
     from opadpo_tpu.models.loader import load_peft_adapter
@@ -198,7 +204,9 @@ def main():
     worker = InferenceWorker(params, cfg, tokenizer, lora=lora,
                              lora_scaling=scaling,
                              max_batch=args.max_batch,
-                             max_new_tokens=args.max_new_tokens)
+                             max_new_tokens=args.max_new_tokens,
+                             kv_bits=args.kv_bits, head_bits=args.head_bits,
+                             decode_chunk=args.decode_chunk)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(worker))
     print(f"serving on :{args.port}")

@@ -247,3 +247,35 @@ def test_decode_attention_prompt_kernel_matches_reference():
         np.testing.assert_allclose(
             np.asarray(jnp.log(l) + m), np.asarray(jnp.log(l_ref) + m_ref),
             atol=1e-3, rtol=1e-3)
+
+
+def test_decode_attention_prompt_head_count_not_divisible_by_16():
+    """13B has 40 KV heads: hblk must fall back to a divisor of h (8), not
+    assert out on min(16, 40).  Regression for the r2 advisor finding."""
+    from opadpo_tpu.ops.decode_attention import decode_attention_prompt
+
+    rng = np.random.default_rng(1)
+    b, h, sp, hd = 1, 40, 256, 128
+    q = jnp.asarray(rng.standard_normal((b, h, hd)) * 0.4, jnp.float32)
+    pk = jnp.asarray(rng.integers(-127, 128, (b, h, sp, hd)), jnp.int8)
+    pv = jnp.asarray(rng.integers(-127, 128, (b, h, sp, hd)), jnp.int8)
+    ks = jnp.asarray(np.abs(rng.standard_normal((b, h, sp))) * 0.01 + 1e-4,
+                     jnp.float32)
+    vs = jnp.asarray(np.abs(rng.standard_normal((b, h, sp))) * 0.01 + 1e-4,
+                     jnp.float32)
+    bias_np = np.zeros((b, sp), np.float32)
+    bias_np[:, 200:] = -1e30
+    bias = jnp.asarray(bias_np)
+    sm = hd ** -0.5
+
+    s = jnp.einsum("bhd,bhsd->bhs", q, pk.astype(jnp.float32)
+                   ) * ks * sm + bias[:, None, :]
+    m_ref = jnp.max(s, axis=-1)
+    p = jnp.exp(s - m_ref[..., None])
+    l_ref = jnp.sum(p, axis=-1)
+    o_ref = jnp.einsum("bhs,bhsd->bhd", p * vs, pv.astype(jnp.float32))
+
+    o, m, l = decode_attention_prompt(q, pk, ks, pv, vs, bias, sm)
+    np.testing.assert_allclose(
+        np.asarray(o / l[..., None]),
+        np.asarray(o_ref / l_ref[..., None]), atol=2e-2, rtol=2e-2)
