@@ -133,12 +133,90 @@ def preprocess_v1(
     return dict(input_ids=input_ids, labels=targets, validity=validity)
 
 
+def preprocess_llama_2(
+    sources,
+    tokenizer,
+    has_image: bool = False,
+    mask_target: bool = True,
+    query_len: Optional[int] = None,
+    response_len: Optional[int] = None,
+) -> Dict:
+    """LLaMA-2 ``[INST]``-style templating + tokenization + assistant-only
+    labels (reference common_utils.py:224-333).  Identical masking walk to
+    v1 except the instruction separator is the literal ``"[/INST] "`` and
+    rounds are delimited by the LLAMA_2 ``sep2`` (``</s>``)."""
+    conv = conversation_lib.conv_llava_llama_2.copy()
+    roles = {"human": conv.roles[0], "gpt": conv.roles[1]}
+
+    conversations = []
+    for source in sources:
+        if roles[source[0]["from"]] != conv.roles[0]:
+            source = source[1:]
+        conv.messages = []
+        for j, sentence in enumerate(source):
+            role = roles[sentence["from"]]
+            assert role == conv.roles[j % 2]
+            conv.append_message(role, sentence["value"])
+        conversations.append(conv.get_prompt())
+
+    input_ids = _tokenize_conversations(conversations, tokenizer, has_image)
+    targets = input_ids.copy()
+    validity = [True] * len(input_ids)
+    assert conv.sep_style == SeparatorStyle.LLAMA_2
+
+    sep = "[/INST] "
+    for c, (conversation, target) in enumerate(zip(conversations, targets)):
+        total_len = int((target != (tokenizer.pad_token_id or 0)).sum())
+        rounds = conversation.split(conv.sep2)
+        cur_len = 1
+        if mask_target:
+            target[:cur_len] = IGNORE_INDEX
+        final_query_len, final_response_len = 0, 0
+        for rou in rounds:
+            if rou == "":
+                break
+            parts = rou.split(sep)
+            if len(parts) != 2:
+                break
+            parts[0] += sep
+            if has_image:
+                round_len = len(tokenizer_image_token(rou, tokenizer))
+                instruction_len = len(
+                    tokenizer_image_token(parts[0], tokenizer)) - 2
+            else:
+                round_len = len(tokenizer(rou).input_ids)
+                instruction_len = len(tokenizer(parts[0]).input_ids) - 2
+            if mask_target:
+                target[cur_len:cur_len + instruction_len] = IGNORE_INDEX
+            final_query_len = cur_len
+            final_response_len = round_len
+            cur_len += round_len
+        if final_response_len == 0:
+            raise ValueError(f"Empty response: {conversation}")
+        validity[c] = (
+            (query_len is None or final_query_len <= query_len)
+            and (response_len is None or final_response_len <= response_len))
+        if mask_target:
+            target[cur_len:] = IGNORE_INDEX
+        if cur_len < tokenizer.model_max_length and cur_len != total_len:
+            if mask_target:
+                target[:] = IGNORE_INDEX
+            print(f"WARNING: tokenization mismatch: {cur_len} vs {total_len}")
+
+    return dict(input_ids=input_ids, labels=targets, validity=validity)
+
+
 def preprocess(sources, tokenizer, has_image: bool = False,
                mask_target: bool = True, query_len: Optional[int] = None,
                response_len: Optional[int] = None) -> Dict:
     """Dispatch on the active conversation template (reference
-    common_utils.py:478-523)."""
+    common_utils.py:478-523: LLAMA_2 sep-style first, then v1)."""
     conv = conversation_lib.default_conversation
+    if conv.sep_style == SeparatorStyle.LLAMA_2:
+        return preprocess_llama_2(sources, tokenizer, has_image=has_image,
+                                  mask_target=mask_target,
+                                  query_len=query_len,
+                                  response_len=response_len)
     if conv.version.startswith("v1"):
         return preprocess_v1(sources, tokenizer, has_image=has_image,
                              mask_target=mask_target, query_len=query_len,

@@ -64,6 +64,79 @@ def test_preprocess_v1_masks_instruction():
     assert out["validity"] == [True]
 
 
+def test_llama_2_template_rendering():
+    from opadpo_tpu.data.conversation import conv_llava_llama_2
+    conv = conv_llava_llama_2.copy()
+    conv.append_message("USER", "q1")
+    conv.append_message("ASSISTANT", "a1")
+    conv.append_message("USER", "q2")
+    conv.append_message("ASSISTANT", "a2")
+    prompt = conv.get_prompt()
+    # first round carries the <<SYS>> block inside the first [INST]
+    assert prompt.startswith("[INST] <<SYS>>\n")
+    assert "<</SYS>>\n\nq1 [/INST] a1 </s>" in prompt
+    # later rounds: <s>[INST] q [/INST] a </s>
+    assert "</s><s>[INST] q2 [/INST] a2 </s>" in prompt
+
+
+def test_preprocess_llama_2_masks_instruction():
+    from opadpo_tpu.data.tokenization import preprocess_llama_2
+    source = [
+        {"from": "human", "value": "<image>\nwhat is shown?"},
+        {"from": "gpt", "value": "cat"},
+        {"from": "human", "value": "sure?"},
+        {"from": "gpt", "value": "yes"},
+    ]
+    out = preprocess_llama_2([source], TOK, has_image=True)
+    ids, labels = out["input_ids"][0], out["labels"][0]
+    assert IMAGE_TOKEN_INDEX in ids
+    n_masked = (labels == IGNORE_INDEX).sum()
+    assert 0 < n_masked < len(labels)
+    sup = labels[labels != IGNORE_INDEX]
+    # both rounds' responses supervised, both instructions masked
+    for resp in ("cat", "yes"):
+        resp_ids = TOK._encode_one(resp, add_bos=False)
+        assert set(resp_ids) <= set(sup.tolist()), resp
+    # instruction body must be masked: '[INST]' chars never supervised
+    instr_ids = set(TOK._encode_one("[INST", add_bos=False))
+    assert not (instr_ids & set(sup.tolist()))
+    assert out["validity"] == [True]
+
+
+def test_preprocess_dispatches_on_default_conversation():
+    from opadpo_tpu.data import conversation as conversation_lib
+    from opadpo_tpu.data.tokenization import preprocess
+    source = [
+        {"from": "human", "value": "q"},
+        {"from": "gpt", "value": "a"},
+    ]
+    out_v1 = preprocess([source], TOK)
+    saved = conversation_lib.default_conversation
+    conversation_lib.default_conversation = conversation_lib.conv_llava_llama_2
+    try:
+        out_l2 = preprocess([source], TOK)
+    finally:
+        conversation_lib.default_conversation = saved
+    # the two templates tokenize differently (different system prompts)
+    assert out_v1["input_ids"].shape != out_l2["input_ids"].shape \
+        or (out_v1["input_ids"] != out_l2["input_ids"]).any()
+    assert out_l2["validity"] == [True]
+
+
+def test_preprocess_llama_2_validity_limits():
+    from opadpo_tpu.data.tokenization import preprocess_llama_2
+    source = [
+        {"from": "human", "value": "a long question " * 8},
+        {"from": "gpt", "value": "short"},
+    ]
+    ok = preprocess_llama_2([source], TOK, query_len=2048, response_len=2048)
+    assert ok["validity"] == [True]
+    # response_len below the final round length → invalid, still tokenized
+    bad = preprocess_llama_2([source], TOK, response_len=4)
+    assert bad["validity"] == [False]
+    assert bad["input_ids"].shape == ok["input_ids"].shape
+
+
 def test_clip_preprocess_matches_hf():
     from transformers import CLIPImageProcessor
     from opadpo_tpu.ops.image_ops import CLIP_MEAN, CLIP_STD
