@@ -195,9 +195,12 @@ def train(cfg: Config) -> None:
                       int(t.get("max_step", 500)))
     save_steps = int(t.get("save_steps", 100))
     timer = StepTimer()
-    rng = jax.random.PRNGKey(int(t.get("seed", 42)))
-
-    step_rng = np.random.default_rng(int(t.get("seed", 42)))
+    # replay-deterministic randomness: every step derives its keys from
+    # (root, step_idx) via fold_in, so a resumed run bit-matches an
+    # uninterrupted one at the same step — the reference fast-forwards the
+    # dataloader but lets its RNG streams drift on resume
+    seed = int(t.get("seed", 42))
+    root_rng = jax.random.PRNGKey(seed)
     metrics = MetricsLogger(output_dir, run_name="opadpo",
                             report_to=str(t.get("report_to", "jsonl")))
     profile_at = int(t.get("profile_start_step", 0))
@@ -215,6 +218,8 @@ def train(cfg: Config) -> None:
         sub_bs = int(sub_bs) * n_data if sub_bs else rollout_global
         assert rollout_global % sub_bs == 0
         t0 = time.time()
+        step_rng = jax.random.fold_in(root_rng, step_idx)
+        chunk_idx = 0
         rollouts: List[Dict[str, np.ndarray]] = []
         for _ in range(rollout_accum):
             host_batch = next(loader)
@@ -223,7 +228,8 @@ def train(cfg: Config) -> None:
                              if isinstance(v, np.ndarray) else v)
                          for k, v in host_batch.items()}
                 batch = device_put_batch(chunk, mesh)
-                rng, sub = jax.random.split(rng)
+                sub = jax.random.fold_in(step_rng, chunk_idx)
+                chunk_idx += 1
                 scored = rollout_fn(params=base_params, ref_lora=ref_lora,
                                     batch=batch, rng=sub)
                 merged = {**batch, **scored}
@@ -237,8 +243,9 @@ def train(cfg: Config) -> None:
         t0 = time.time()
         n = rollouts_all["queries"].shape[0]
         stats = {}
-        for _ in range(noptepochs):
-            order = step_rng.permutation(n)
+        for ep in range(noptepochs):
+            order = np.random.default_rng(
+                (seed, step_idx, ep)).permutation(n)
             for mb_start in range(0, n - step_global + 1, step_global):
                 idxs = order[mb_start:mb_start + step_global]
                 mb = {k: v[idxs] for k, v in rollouts_all.items()}

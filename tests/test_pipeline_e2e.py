@@ -131,6 +131,74 @@ def test_full_pipeline(tmp_path):
     opadpo_train.train(cfg)
 
 
+def _tiny_dpo_dataset(path, n=16):
+    from datasets import Dataset
+    rng = np.random.default_rng(1)
+    imgs, reports = [], []
+    for i in range(n):
+        arr = rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        imgs.append(base64.b64encode(buf.getvalue()).decode())
+        reports.append(json.dumps({
+            "sentence_1": {"copied content": f"A generated answer {i}.",
+                           "score": 2,
+                           "error type": "image_recognition_error",
+                           "rewritten content": "A corrected answer."},
+            "Added": {"rewritten content": ""},
+        }))
+    Dataset.from_dict({
+        "queries": [f"<image>\nWhat is in image {i}?" for i in range(n)],
+        "image_bytes": imgs,
+        "standard_response": [f"A standard answer {i}." for i in range(n)],
+        "original_generate_response": [f"A generated answer {i}."
+                                       for i in range(n)],
+        "AI_pseudo_response": ["A corrected answer."] * n,
+        "AI_json_report": reports,
+        "image_id": [f"img{i}.png" for i in range(n)],
+    }).save_to_disk(path)
+
+
+def _final_adapter(out_dir, step):
+    import orbax.checkpoint as ocp
+    path = os.path.join(out_dir, f"checkpoint-{step}", "adapter_full.ckpt")
+    tree = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    return ckpt_lib._flatten_numpy(tree)
+
+
+def test_resume_is_replay_deterministic(tmp_path):
+    """2-steps-then-resume must bit-match 4-straight: per-step randomness
+    derives from fold_in(root, step) and the minibatch permutation from
+    (seed, step, epoch), so skipped steps leave no RNG drift (VERDICT r2
+    item 7; the reference's resume diverges here)."""
+    from opadpo_tpu.pipeline import opadpo_train
+
+    data = str(tmp_path / "dpo_data")
+    _tiny_dpo_dataset(data, n=16)
+    common = dict(max_step=4, rollout_batch_size=8, step_batch_size=8,
+                  rollout_per_device_batch_size=1,
+                  step_per_device_batch_size=1, noptepochs=2, save_steps=2,
+                  query_len=256, response_len=16, lora_r=4, lora_alpha=8,
+                  CoPO=True, CoPO_method="random", AncPO=True,
+                  warmup_steps=0)
+
+    straight = str(tmp_path / "straight")
+    opadpo_train.train(_base_cfg(straight, data, total_epochs=2, **common))
+    ref = _final_adapter(straight, 4)
+
+    resumed = str(tmp_path / "resumed")
+    # phase 1 stops after 2 steps (epoch budget), phase 2 resumes to 4
+    opadpo_train.train(_base_cfg(resumed, data, total_epochs=1, **common))
+    assert os.path.isdir(os.path.join(resumed, "checkpoint-2"))
+    os.remove(os.path.join(resumed, "completed"))
+    opadpo_train.train(_base_cfg(resumed, data, total_epochs=2, **common))
+    got = _final_adapter(resumed, 4)
+
+    assert set(ref) == set(got)
+    for key in ref:
+        np.testing.assert_array_equal(ref[key], got[key], err_msg=key)
+
+
 def test_multi_rank_rollout(tmp_path, monkeypatch):
     """Two simulated ranks produce disjoint step{N}_rank{R}.json shards
     that dataset_ops merges (reference generator.py:87-93 fan-out)."""
