@@ -161,6 +161,41 @@ def projector_params_from_state(state: Dict[str, np.ndarray],
     }
 
 
+def llava_params_from_hf_state(state: Dict[str, np.ndarray],
+                               cfg: LlavaConfig) -> dict:
+    """HF ``LlavaForConditionalGeneration`` naming → our pytree.
+
+    Covers both llava-hf layouts: transformers ≥4.52
+    (``model.language_model.* / model.vision_tower.* /
+    model.multi_modal_projector.*`` + top-level ``lm_head.weight``) and the
+    legacy one (``language_model.model.*`` etc.), so ``llava-hf/llava-1.5-*``
+    checkpoints load directly alongside the original-LLaVA layout."""
+    if any(k.startswith("language_model.model.") for k in state):
+        def remap(k: str) -> str:
+            if k == "language_model.lm_head.weight":
+                return "lm_head.weight"
+            if k.startswith("language_model.model."):
+                return "model.language_model." + k[len("language_model.model."):]
+            if k.startswith(("vision_tower.", "multi_modal_projector.")):
+                return "model." + k
+            return k
+        state = {remap(k): v for k, v in state.items()}
+
+    pp = "model.multi_modal_projector."
+    return {
+        "llama": llama_params_from_state(state, cfg.llama,
+                                         prefix="model.language_model."),
+        "projector": {
+            "fc1": _tp(state[pp + "linear_1.weight"]),
+            "b1": state[pp + "linear_1.bias"],
+            "fc2": _tp(state[pp + "linear_2.weight"]),
+            "b2": state[pp + "linear_2.bias"],
+        },
+        "vision": clip_params_from_state(
+            state, cfg.vision, prefix="model.vision_tower.vision_model."),
+    }
+
+
 def resize_token_embeddings_with_mean(params: dict, new_vocab: int) -> dict:
     """Grow embed/lm_head to ``new_vocab``, initializing new rows with the
     mean of existing embeddings — the reference's patched
@@ -201,6 +236,10 @@ def load_llava_checkpoint(
     import jax.numpy as jnp
     dtype = dtype or jnp.bfloat16
     state = load_state_dict(model_dir)
+
+    if any(k.startswith(("model.language_model.", "language_model.model."))
+           for k in state):
+        return _cast(llava_params_from_hf_state(state, cfg), dtype)
 
     params = {"llama": llama_params_from_state(state, cfg.llama)}
     if any(k.startswith("model.mm_projector.") for k in state):
