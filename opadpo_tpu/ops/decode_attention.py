@@ -104,6 +104,7 @@ def decode_attention_prompt(
     sm_scale: float,
     block_h: int = 16,
     block_s: int = 1024,
+    _local: bool = False,
 ) -> tuple:
     """→ (out_unnormalized [B, H, hd] f32, m [B, H] f32, l [B, H] f32).
 
@@ -111,6 +112,38 @@ def decode_attention_prompt(
     ``out / l`` after merging with the suffix piece (see
     ``models/llama._decode_layer``)."""
     b, h, sp, hd = pk_q.shape
+
+    # Under tensor parallelism the kernel runs inside a shard_map (pallas
+    # does not partition under GSPMD — same design as attention._flash_
+    # attention_tp): heads are local under model-axis head sharding, so
+    # each shard runs the local kernel with no collectives.
+    from opadpo_tpu.ops.attention import get_tp_mesh
+    mesh = None if _local else get_tp_mesh()
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from opadpo_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        n_data = mesh.shape.get(DATA_AXIS, 1)
+        n_model = mesh.shape.get(MODEL_AXIS, 1)
+        if b % n_data == 0 and h % n_model == 0 and n_model > 1:
+            q_spec = P(DATA_AXIS, MODEL_AXIS, None)
+            kv_spec_p = P(DATA_AXIS, MODEL_AXIS, None, None)
+            sc_spec_p = P(DATA_AXIS, MODEL_AXIS, None)
+            fn = shard_map(
+                lambda q_, pk_, ks_, pv_, vs_, bi_: decode_attention_prompt(
+                    q_, pk_, ks_, pv_, vs_, bi_, sm_scale,
+                    block_h=block_h, block_s=block_s, _local=True),
+                mesh=mesh,
+                in_specs=(q_spec, kv_spec_p, sc_spec_p, kv_spec_p,
+                          sc_spec_p, P(DATA_AXIS, None)),
+                out_specs=(q_spec, P(DATA_AXIS, MODEL_AXIS),
+                           P(DATA_AXIS, MODEL_AXIS)),
+                check_vma=False,
+            )
+            return fn(q, pk_q, k_scale, pv_q, v_scale, bias)
+
     # largest divisor of h that fits the block cap: h=32 → 16, but 13B's
     # h=40 → 8 (min(16, 40) = 16 does not divide 40 and crashed the int8-KV
     # decode path on 13B)
