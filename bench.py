@@ -134,6 +134,220 @@ def bench_dpo_scoring() -> dict:
     }
 
 
+def bench_rollout_decode(b: int = 8, steps: int = 896) -> dict:
+    """Full-length rollout decode at the recommended decode config
+    (bits=4 base, int8 prompt-KV + fused decode kernel, int4 lm_head,
+    chunk=256) — reference hot loop #1 (HF ``generate`` 896 new tokens,
+    rl_models.py:146-191)."""
+    from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
+    from opadpo_tpu.engine.sampler import decode_loop_unrolled
+    from opadpo_tpu.engine.sampling import SamplingConfig
+    from opadpo_tpu.models import llama as llama_model
+    from opadpo_tpu.models import llava as llava_model
+    from opadpo_tpu.models.llava import LlavaConfig
+    from opadpo_tpu.ops import quant
+
+    quant.set_act_quant(False)
+    cfg = LlavaConfig.llava_7b()
+    chunk = 256
+
+    def build():
+        params = llava_model.init_params(jax.random.PRNGKey(0), cfg)
+        params = quant.quantize_params(params, bits=4)
+        llama = llama_model.fuse_for_inference(params["llama"])
+        llama = llama_model.quantize_head_for_decode(llama, 4)
+        return {**params, "llama": llama_model.unstack_layers(llama)}
+
+    shapes = jax.eval_shape(build)
+    params = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(5, 32000, (b, 128)).astype(np.int32)
+    q[:, 1] = IMAGE_TOKEN_INDEX
+    images = jnp.zeros((b, 336, 336, 3), jnp.bfloat16)
+    pf = jax.jit(lambda p, q_, m_, im: llava_model.prefill_unrolled(
+        p, cfg, q_, m_, im))(params, jnp.asarray(q),
+                             jnp.ones_like(jnp.asarray(q)), images)
+    _ = float(jnp.sum(pf["last_logits"]))
+
+    sampling = SamplingConfig(max_new_tokens=steps, temperature=1.0,
+                              top_k=30, top_p=0.95, eos_token_id=-1,
+                              pad_token_id=0)
+    kv0 = jax.jit(lambda kv: llama_model.quantize_prompt_kv_list(
+        list(kv)))(tuple(pf["kv_list"]))
+    chunk_fn = jax.jit(
+        lambda p, kv, pm, pos, ll, r, d0, n: decode_loop_unrolled(
+            p, cfg, list(kv), pm, pos, ll, r, sampling,
+            done_init=d0, max_new=n, return_state=True),
+        static_argnums=(7,))
+    append_fn = jax.jit(
+        lambda kv, sfx, pm, filled: llama_model.append_suffix_to_prompt_kv(
+            list(kv), list(sfx), pm, filled))
+
+    def run(rng_key):
+        sp_pad = kv0[0][0]["q"].shape[2]
+        pm = jnp.pad(pf["key_mask"],
+                     ((0, 0), (0, sp_pad - pf["key_mask"].shape[1])))
+        kv, pos, ll = tuple(kv0), pf["next_position"], pf["last_logits"]
+        done = jnp.zeros((b,), bool)
+        n = 0
+        n_chunks = -(-steps // chunk)
+        for ci in range(n_chunks):
+            nc = min(chunk, steps - ci * chunk)
+            out_c, st = chunk_fn(params, kv, pm, pos, ll, rng_key, done, nc)
+            n += int(st["step"])
+            done, rng_key = st["done"], st["rng"]
+            pos, ll = st["positions"], st["last_logits"]
+            if ci < n_chunks - 1:
+                kv, pm = append_fn(kv, st["suffix"], pm, st["step"])
+                kv = tuple(kv)
+        _ = int(jnp.sum(out_c))
+        return n
+
+    run(jax.random.PRNGKey(1))            # compile all chunk shapes
+    t0 = time.perf_counter()
+    n = run(jax.random.PRNGKey(1))
+    dt = time.perf_counter() - t0
+    return {"steps_per_sec": round(n / dt, 1),
+            "tokens_per_sec": round(n * b / dt, 1),
+            "config": f"int4_kv8_head4_chunk{chunk}_b{b}_steps{steps}"}
+
+
+def bench_sft_step(b: int = 4, seq: int = 1600, iters: int = 2) -> dict:
+    """OPA SFT step (reference hot loop #2: LLaVATrainer fwd/bwd on 4x
+    A100, run/train_opa.sh; stage wall-clock ~30 min, README.md:121)."""
+    from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
+    from opadpo_tpu.engine.sft import SftConfig, sft_train_step
+    from opadpo_tpu.engine.train_state import (
+        OptimizerConfig, TrainState, make_optimizer,
+    )
+    from opadpo_tpu.models import llava as llava_model
+    from opadpo_tpu.models.llava import LlavaConfig
+    from opadpo_tpu.models.lora import LoraConfig
+    from opadpo_tpu.ops import quant
+
+    quant.set_act_quant(True)
+    cfg = LlavaConfig.llava_7b()
+    lora_cfg = LoraConfig(rank=64, alpha=128.0)
+
+    params = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype),
+        jax.eval_shape(lambda: quant.quantize_params(
+            llava_model.init_params(jax.random.PRNGKey(0), cfg)))))()
+    lora0 = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype),
+        jax.eval_shape(lambda: llava_model.init_lora(
+            jax.random.PRNGKey(1), cfg, lora_cfg, include_vision=True))))()
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, 32000, (b, seq)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    labels = ids.copy()
+    labels[:, :128] = -100
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones_like(jnp.asarray(ids)),
+        "labels": jnp.asarray(labels),
+        "images": jnp.zeros((b, 336, 336, 3), jnp.bfloat16),
+    }
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-5, warmup_steps=0,
+                                        total_steps=10))
+    state = TrainState.create(lora0, tx)
+    scfg = SftConfig(lora_scaling=lora_cfg.scaling)
+    step = jax.jit(lambda s, p, bt: sft_train_step(s, p, bt, tx, cfg, scfg),
+                   donate_argnums=(0,))
+    state, stats = step(state, params, batch)
+    _ = float(stats["loss/total"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, stats = step(state, params, batch)
+    _ = float(stats["loss/total"])
+    dt = (time.perf_counter() - t0) / iters
+    return {"seconds_per_step": round(dt, 3),
+            "seq_per_sec_chip": round(b / dt, 3),
+            "config": f"w8a8_r64_b{b}_seq{seq}"}
+
+
+def bench_dpo_step(b: int = 2, iters: int = 2) -> dict:
+    """OPA-DPO train step, CoPO+AncPO 4 pairs (reference hot loop #3:
+    compute_policy_loss + backward, dpo_trainer.py:475-802)."""
+    from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
+    from opadpo_tpu.engine.dpo import DpoConfig, dpo_train_step, rollout_score
+    from opadpo_tpu.engine.train_state import (
+        OptimizerConfig, TrainState, make_optimizer,
+    )
+    from opadpo_tpu.models import llava as llava_model
+    from opadpo_tpu.models.llava import LlavaConfig
+    from opadpo_tpu.models.lora import LoraConfig
+    from opadpo_tpu.ops import quant
+
+    quant.set_act_quant(True)
+    cfg = LlavaConfig.llava_7b()
+    lora_cfg = LoraConfig(rank=64, alpha=128.0)
+    dpo = DpoConfig(response_len=896, query_len=128,
+                    lora_scaling=lora_cfg.scaling)
+
+    params = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype),
+        jax.eval_shape(lambda: quant.quantize_params(
+            llava_model.init_params(jax.random.PRNGKey(0), cfg)))))()
+
+    def cheap_lora(seed):
+        return jax.jit(lambda: jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, 0.01, s.dtype),
+            jax.eval_shape(lambda: llava_model.init_lora(
+                jax.random.PRNGKey(seed), cfg, lora_cfg))))()
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(5, 32000, (b, dpo.query_len)).astype(np.int32)
+    q[:, 1] = IMAGE_TOKEN_INDEX
+    batch = {
+        "queries": jnp.asarray(q),
+        "queries_attention_mask": jnp.ones_like(jnp.asarray(q)),
+        "images": jnp.zeros((b, 336, 336, 3), jnp.bfloat16),
+    }
+    for name in ("standard_response", "original_generate_response",
+                 "AI_pseudo_response"):
+        ids = rng.integers(5, 32000, (b, dpo.response_len)).astype(np.int32)
+        ids[:, -64:] = 0
+        batch[name] = jnp.asarray(ids)
+        batch[name + "_attention_mask"] = jnp.asarray(
+            (ids != 0).astype(np.int32))
+    batch["AI_pseudo_response_scores"] = jnp.full(
+        (b, dpo.response_len), 2.0, jnp.float32)
+    batch["original_generate_response_scores"] = jnp.ones(
+        (b, dpo.response_len), jnp.float32)
+    batch["AI_pseudo_response_image_relations"] = jnp.full(
+        (b, dpo.response_len), 1.0, jnp.float32)
+
+    ref_lora = cheap_lora(1)
+    roll = jax.jit(lambda p, rl, bt, r: rollout_score(p, cfg, dpo, rl, bt, r))
+    rollouts = roll(params, ref_lora, batch, jax.random.PRNGKey(2))
+    _ = float(jnp.sum(rollouts["ref_base_standard_response_logprobs"]))
+    t0 = time.perf_counter()
+    rollouts = roll(params, ref_lora, batch, jax.random.PRNGKey(2))
+    _ = float(jnp.sum(rollouts["ref_base_standard_response_logprobs"]))
+    roll_dt = time.perf_counter() - t0
+
+    full_batch = {**batch, **dict(rollouts)}
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-6, warmup_steps=0,
+                                        total_steps=10))
+    state = TrainState.create(cheap_lora(3), tx)
+    step = jax.jit(lambda s, p, bt: dpo_train_step(s, p, bt, tx, cfg, dpo),
+                   donate_argnums=(0,))
+    state, stats = step(state, params, full_batch)
+    _ = float(stats["loss/total"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, stats = step(state, params, full_batch)
+    _ = float(stats["loss/total"])
+    dt = (time.perf_counter() - t0) / iters
+    return {"seconds_per_step": round(dt, 3),
+            "rollout_score_seconds": round(roll_dt, 3),
+            "config": f"w8a8_r64_copo_ancpo_b{b}"}
+
+
 def bench_flash_attention() -> dict:
     """Fallback benchmark if the 7B model does not fit."""
     from opadpo_tpu.ops.attention import flash_attention
@@ -164,12 +378,44 @@ def bench_flash_attention() -> dict:
 
 
 def main():
+    import gc
+
     try:
         result = bench_dpo_scoring()
     except Exception as e:                          # OOM / compile failure
         print(f"7B scoring bench failed ({e}); falling back",
               file=sys.stderr)
         result = bench_flash_attention()
+        print(json.dumps(result))
+        return
+
+    # All four hot loops in one driver-captured artifact (VERDICT r2
+    # item 3): scoring is the headline; rollout decode / SFT / DPO step
+    # land in hot_loops so regressions are bench-visible.  gc between
+    # benches frees each stage's 7B params before the next allocates.
+    hot_loops = {}
+    for name, fn in (("rollout_decode", bench_rollout_decode),
+                     ("sft_step", bench_sft_step),
+                     ("dpo_step", bench_dpo_step)):
+        gc.collect()
+        try:
+            hot_loops[name] = fn()
+        except Exception as e:
+            print(f"{name} bench failed: {e}", file=sys.stderr)
+            hot_loops[name] = {"error": str(e)[:200]}
+    gc.collect()
+    result["hot_loops"] = hot_loops
+
+    # Projected v5e-8 OPA-stage wall-clock vs the reference's ~30 min on
+    # 4x A100 (README.md:121): 4.8k pairs x 2 response types x 2 epochs
+    # of SFT sequences, data-parallel over 8 chips.
+    sft = hot_loops.get("sft_step", {})
+    if "seq_per_sec_chip" in sft:
+        total_seq = 4800 * 2 * 2
+        minutes = total_seq / (8 * sft["seq_per_sec_chip"]) / 60.0
+        result["projected_v5e8_opa_stage_minutes"] = round(minutes, 1)
+        result["reference_a100x4_opa_stage_minutes"] = 30.0
+
     print(json.dumps(result))
 
 

@@ -210,9 +210,10 @@ def _use_fused_flash(attn_impl: str, s: int, b: int, nh: int, nkv: int,
                      hd: int) -> bool:
     """Fused Pallas prologue/epilogue path (rope + head-split + pad +
     transpose in one pass per tensor — ops/attention.py): full-sequence
-    self-attention with MHA (no KV grouping), 128-aligned heads, flash
-    eligible.  Under TP the fused pipeline runs inside a shard_map on
-    each shard's local heads, so batch/heads must divide the mesh axes."""
+    self-attention, 128-aligned heads, flash eligible.  GQA (nh % nkv
+    == 0) folds the KV-head repeat into the prologue expansion.  Under TP
+    the fused pipeline runs inside a shard_map on each shard's local
+    heads, so batch/heads (and kv heads) must divide the mesh axes."""
     from opadpo_tpu.ops.attention import (
         MAX_FLASH_SEQ, get_default_impl, get_fused_attention, get_tp_mesh,
     )
@@ -222,10 +223,11 @@ def _use_fused_flash(attn_impl: str, s: int, b: int, nh: int, nkv: int,
         return False
     mesh = get_tp_mesh()
     if mesh is not None and (b % mesh.shape.get("data", 1) != 0
-                             or nh % mesh.shape.get("model", 1) != 0):
+                             or nh % mesh.shape.get("model", 1) != 0
+                             or nkv % mesh.shape.get("model", 1) != 0):
         return False
     return (jax.default_backend() == "tpu"
-            and nh == nkv
+            and nh % nkv == 0
             and hd % 128 == 0
             and s <= MAX_FLASH_SEQ)
 
@@ -247,7 +249,8 @@ def _attention_block(x, lp, ll, cfg, lora_scaling, key_mask, positions,
     if cache_kv is None and _use_fused_flash(attn_impl, s, b, nh, nkv, hd):
         from opadpo_tpu.ops.attention import flash_attention_fused
         attn2 = flash_attention_fused(q, k, v, cos, sin, positions, nh,
-                                      key_mask=key_mask, causal=True)
+                                      key_mask=key_mask, causal=True,
+                                      num_kv_heads=nkv)
         out = lora_dense(attn2, lp["wo"], tree_get(ll, "wo"), lora_scaling)
         return out, None
 

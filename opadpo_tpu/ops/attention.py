@@ -513,15 +513,18 @@ def _rot_block(xh, cos_b, sin_b, hd, inverse):
 
 
 def _scatter_heads_kernel(x_ref, cos_ref, sin_ref, o_ref, *, h, hd, s, bs,
-                          rope, inverse):
+                          rope, inverse, rep=1):
     i = pl.program_id(1)
-    xb = x_ref[0]                                      # [bs, H*hd]
+    xb = x_ref[0]                                      # [bs, Hkv*hd]
     rows = jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0) + i * bs
     valid = rows < s
     cos_b = cos_ref[0] if rope else None
     sin_b = sin_ref[0] if rope else None
     for hh in range(h):                                # static lane slices
-        xh = jnp.where(valid, xb[:, hh * hd:(hh + 1) * hd], 0)
+        # GQA: output head hh reads source kv head hh // rep (the fused
+        # form of jnp.repeat(k, rep, axis=2) — no materialized repeat)
+        src = hh // rep
+        xh = jnp.where(valid, xb[:, src * hd:(src + 1) * hd], 0)
         if rope:
             out = _rot_block(xh, cos_b, sin_b, hd, inverse)
         else:
@@ -530,25 +533,31 @@ def _scatter_heads_kernel(x_ref, cos_ref, sin_ref, o_ref, *, h, hd, s, bs,
 
 
 def _gather_heads_kernel(x_ref, cos_ref, sin_ref, o_ref, *, h, hd, bs,
-                         rope, inverse):
+                         rope, inverse, group=1):
     cos_b = cos_ref[0] if rope else None
     sin_b = sin_ref[0] if rope else None
-    for hh in range(h):
-        xh = x_ref[0, hh]                              # [bs, hd]
-        if rope:
-            out = _rot_block(xh, cos_b, sin_b, hd, inverse)
-        else:
-            out = xh.astype(jnp.float32)
-        o_ref[0, :, hh * hd:(hh + 1) * hd] = out.astype(o_ref.dtype)
+    for j in range(h // group):
+        # group>1 (GQA VJP): accumulate the `group` repeated heads' grads
+        # back into their shared kv head lane slice
+        acc = None
+        for g in range(group):
+            xh = x_ref[0, j * group + g]               # [bs, hd]
+            if rope:
+                out = _rot_block(xh, cos_b, sin_b, hd, inverse)
+            else:
+                out = xh.astype(jnp.float32)
+            acc = out if acc is None else acc + out
+        o_ref[0, :, j * hd:(j + 1) * hd] = acc.astype(o_ref.dtype)
 
 
 def _scatter_heads_call(x, cos_g, sin_g, h, hd, s_pad, rope, inverse,
-                        out_dtype=jnp.bfloat16):
-    """[B, S, H*hd] → [B, H, S_pad, hd] (+rope).  cos_g/sin_g: [B, S_pad,
-    hd/2] f32 (ignored when rope=False).  One grid step per row-block
-    handles ALL heads (static python loop + static lane slices — Mosaic
-    has no dynamic lane indexing): one contiguous [bs, H*hd] read, one
-    [H, bs, hd] write."""
+                        out_dtype=jnp.bfloat16, rep=1):
+    """[B, S, Hkv*hd] → [B, H, S_pad, hd] (+rope), H = rep·Hkv.
+    cos_g/sin_g: [B, S_pad, hd/2] f32 (ignored when rope=False).  One grid
+    step per row-block handles ALL heads (static python loop + static lane
+    slices — Mosaic has no dynamic lane indexing): one contiguous
+    [bs, Hkv*hd] read, one [H, bs, hd] write.  rep>1 fuses the GQA
+    KV-head repeat into the expansion."""
     b, s, d = x.shape
     bs = min(_LAYOUT_BS, s_pad)
     grid = (b, s_pad // bs)
@@ -559,7 +568,7 @@ def _scatter_heads_call(x, cos_g, sin_g, h, hd, s_pad, rope, inverse,
     last_blk = (s - 1) // bs
     return pl.pallas_call(
         functools.partial(_scatter_heads_kernel, h=h, hd=hd, s=s, bs=bs,
-                          rope=rope, inverse=inverse),
+                          rope=rope, inverse=inverse, rep=rep),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bs, d),
@@ -577,15 +586,19 @@ def _scatter_heads_call(x, cos_g, sin_g, h, hd, s_pad, rope, inverse,
     )(x, cos_g, sin_g)
 
 
-def _gather_heads_call(x_t, cos_g, sin_g, rope, inverse, out_dtype):
-    """[B, H, S_pad, hd] → [B, S_pad, H*hd] (+rope on each head slice).
-    Stays padded — callers row-slice outside (cheap, layout-preserving)."""
+def _gather_heads_call(x_t, cos_g, sin_g, rope, inverse, out_dtype,
+                       group=1):
+    """[B, H, S_pad, hd] → [B, S_pad, (H/group)*hd] (+rope per head slice).
+    Stays padded — callers row-slice outside (cheap, layout-preserving).
+    group>1 is the GQA VJP: each output kv-head lane accumulates its
+    `group` repeated heads."""
     b, h, s_pad, hd = x_t.shape
+    h_out = h // group
     bs = min(_LAYOUT_BS, s_pad)
     grid = (b, s_pad // bs)
     return pl.pallas_call(
         functools.partial(_gather_heads_kernel, h=h, hd=hd, bs=bs,
-                          rope=rope, inverse=inverse),
+                          rope=rope, inverse=inverse, group=group),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, h, bs, hd), lambda b_, i: (b_, 0, i, 0),
@@ -595,29 +608,30 @@ def _gather_heads_call(x_t, cos_g, sin_g, rope, inverse, out_dtype):
             pl.BlockSpec((1, bs, hd // 2), lambda b_, i: (b_, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bs, h * hd), lambda b_, i: (b_, i, 0),
+        out_specs=pl.BlockSpec((1, bs, h_out * hd),
+                               lambda b_, i: (b_, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, h * hd), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, h_out * hd), out_dtype),
         interpret=_interpret_mode(),
     )(x_t, cos_g, sin_g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _to_heads(x, cos_g, sin_g, h, s_pad, rope, s_len, x_dt):
-    hd = x.shape[-1] // h
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _to_heads(x, cos_g, sin_g, h, s_pad, rope, s_len, x_dt, rep=1):
+    hd = x.shape[-1] // (h // rep)
     return _scatter_heads_call(x, cos_g, sin_g, h, hd, s_pad, rope,
-                               inverse=False)
+                               inverse=False, rep=rep)
 
 
-def _to_heads_fwd(x, cos_g, sin_g, h, s_pad, rope, s_len, x_dt):
-    return _to_heads(x, cos_g, sin_g, h, s_pad, rope, s_len, x_dt), \
+def _to_heads_fwd(x, cos_g, sin_g, h, s_pad, rope, s_len, x_dt, rep=1):
+    return _to_heads(x, cos_g, sin_g, h, s_pad, rope, s_len, x_dt, rep), \
         (cos_g, sin_g)
 
 
-def _to_heads_bwd(h, s_pad, rope, s_len, x_dt, res, g):
+def _to_heads_bwd(h, s_pad, rope, s_len, x_dt, rep, res, g):
     cos_g, sin_g = res
     dx_pad = _gather_heads_call(g, cos_g, sin_g, rope,
-                                inverse=True, out_dtype=x_dt)
+                                inverse=True, out_dtype=x_dt, group=rep)
     return dx_pad[:, :s_len, :], None, None
 
 
@@ -661,34 +675,48 @@ def flash_attention_fused(
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    num_kv_heads: Optional[int] = None,
 ) -> jax.Array:
     """Self-attention straight from projection outputs: fused Pallas
     prologue (RoPE + head-split + pad + transpose in one pass per tensor),
     flash kernel, fused epilogue.  Returns [B, S, H*hd] bf16-like q2.
 
+    GQA (``num_kv_heads`` < ``num_heads``): k2/v2 are the smaller
+    [B, S, Hkv*hd] projections; the prologue kernel expands each kv head
+    to its ``H/Hkv`` query heads while head-splitting (no materialized
+    ``jnp.repeat``), and its VJP accumulates the repeated heads' grads
+    back into the shared lanes.
+
     Under tensor parallelism (a mesh registered via ``set_tp_mesh``) the
     whole pipeline runs inside a shard_map: the feature axis of the
     [B, S, H*hd] projection outputs is head-sharded along ``model``, so
     each shard applies the fused kernels to its local heads with no
-    communication (callers must ensure H divides the model axis — see
-    ``models/llama._use_fused_flash``)."""
+    communication (callers must ensure H — and Hkv, for GQA — divide the
+    model axis; see ``models/llama._use_fused_flash``)."""
     b, s, d = q2.shape
     if key_mask is None:
         key_mask = jnp.ones((b, s), jnp.int32)
+    if num_kv_heads is None:
+        num_kv_heads = num_heads
     if _TP_MESH is not None:
         return _flash_attention_fused_tp(
             q2, k2, v2, cos_table, sin_table, positions, num_heads,
-            key_mask, causal, scale, block_q, block_k, _TP_MESH)
+            key_mask, causal, scale, block_q, block_k, _TP_MESH,
+            num_kv_heads)
     return _flash_attention_fused_local(
         q2, k2, v2, cos_table, sin_table, positions, num_heads,
-        key_mask, causal, scale, block_q, block_k)
+        key_mask, causal, scale, block_q, block_k, num_kv_heads)
 
 
 def _flash_attention_fused_local(q2, k2, v2, cos_table, sin_table,
                                  positions, num_heads, key_mask, causal,
-                                 scale, block_q, block_k):
+                                 scale, block_q, block_k,
+                                 num_kv_heads=None):
     b, s, d = q2.shape
     hd = d // num_heads
+    if num_kv_heads is None:
+        num_kv_heads = num_heads
+    rep = num_heads // num_kv_heads
     if scale is None:
         scale = hd ** -0.5
     s_pad = _round_up(s, max(block_q, block_k))
@@ -700,8 +728,10 @@ def _flash_attention_fused_local(q2, k2, v2, cos_table, sin_table,
                     ((0, 0), (0, s_pad - s), (0, 0))).astype(jnp.float32)
 
     q_t = _to_heads(q2, cos_g, sin_g, num_heads, s_pad, True, s, q2.dtype)
-    k_t = _to_heads(k2, cos_g, sin_g, num_heads, s_pad, True, s, k2.dtype)
-    v_t = _to_heads(v2, cos_g, sin_g, num_heads, s_pad, False, s, v2.dtype)
+    k_t = _to_heads(k2, cos_g, sin_g, num_heads, s_pad, True, s, k2.dtype,
+                    rep)
+    v_t = _to_heads(v2, cos_g, sin_g, num_heads, s_pad, False, s, v2.dtype,
+                    rep)
     kbias = jnp.where(
         jnp.pad(key_mask.astype(jnp.int32), ((0, 0), (0, s_pad - s))) != 0,
         0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
@@ -713,7 +743,7 @@ def _flash_attention_fused_local(q2, k2, v2, cos_table, sin_table,
 
 def _flash_attention_fused_tp(q2, k2, v2, cos_table, sin_table, positions,
                               num_heads, key_mask, causal, scale,
-                              block_q, block_k, mesh):
+                              block_q, block_k, mesh, num_kv_heads=None):
     """Fused prologue → flash → epilogue under tensor parallelism.
 
     The [B, S, H*hd] projection outputs are already GSPMD-sharded
@@ -729,12 +759,13 @@ def _flash_attention_fused_tp(q2, k2, v2, cos_table, sin_table, positions,
 
     n_model = mesh.shape.get(MODEL_AXIS, 1)
     local_heads = num_heads // n_model
+    local_kv = (num_kv_heads or num_heads) // n_model
     feat_spec = P(DATA_AXIS, None, MODEL_AXIS)
     row_spec = P(DATA_AXIS, None)
     fn = shard_map(
         lambda q_, k_, v_, cos_, sin_, pos_, m_: _flash_attention_fused_local(
             q_, k_, v_, cos_, sin_, pos_, local_heads, m_, causal, scale,
-            block_q, block_k),
+            block_q, block_k, local_kv),
         mesh=mesh,
         in_specs=(feat_spec, feat_spec, feat_spec, P(None, None),
                   P(None, None), row_spec, row_spec),

@@ -137,7 +137,8 @@ def test_use_fused_flash_dispatch(monkeypatch):
     assert _use_fused_flash("auto", 1599, 4, 32, 32, 128)
     assert _use_fused_flash("flash", 1599, 4, 32, 32, 128)
     assert not _use_fused_flash("xla", 1599, 4, 32, 32, 128)
-    assert not _use_fused_flash("auto", 1599, 4, 32, 8, 128)    # GQA
+    assert _use_fused_flash("auto", 1599, 4, 32, 8, 128)        # GQA fused
+    assert not _use_fused_flash("auto", 1599, 4, 32, 12, 128)   # nh % nkv
     assert not _use_fused_flash("auto", 1599, 4, 32, 32, 64)    # hd unaligned
     assert not _use_fused_flash("auto", 8192, 4, 32, 32, 128)   # too long
 
@@ -157,8 +158,62 @@ def test_use_fused_flash_dispatch(monkeypatch):
         assert not _use_fused_flash("auto", 1599, 4, 31, 31, 128)
         # batch not divisible by the data axis → unfused fallback
         assert not _use_fused_flash("auto", 1599, 3, 32, 32, 128)
+        # GQA: kv heads must also divide the model axis
+        assert _use_fused_flash("auto", 1599, 4, 32, 8, 128)
+        assert not _use_fused_flash("auto", 1599, 4, 32, 1, 128)
     finally:
         att.set_tp_mesh(None)
+
+
+def test_flash_attention_fused_gqa_matches_repeat():
+    """GQA fused path: the prologue expands kv heads in-kernel (no
+    jnp.repeat) — values and ALL input grads (incl. the accumulated
+    kv-head grads through the VJP gather) must match the materialized
+    repeat + fused-MHA reference."""
+    from opadpo_tpu.ops.attention import flash_attention_fused
+    from opadpo_tpu.ops.rope import apply_rope, rope_frequencies
+    from opadpo_tpu.ops.attention import flash_attention
+
+    b, s, h, nkv, hd = 2, 50, 4, 2, 128
+    rep = h // nkv
+    cos, sin = rope_frequencies(hd, 128, 10000.0)
+    rng = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q2 = jax.random.normal(k1, (b, s, h * hd), jnp.float32) * 0.3
+    kk2 = jax.random.normal(k2, (b, s, nkv * hd), jnp.float32) * 0.3
+    v2 = jax.random.normal(k3, (b, s, nkv * hd), jnp.float32) * 0.3
+    positions = jnp.tile(jnp.arange(s, dtype=jnp.int32)[None], (b, 1))
+    km = jnp.ones((b, s), jnp.int32).at[:, -5:].set(0)
+
+    def ref(q2, kk2, v2):
+        q = q2.reshape(b, s, h, hd)
+        k = kk2.reshape(b, s, nkv, hd)
+        v = v2.reshape(b, s, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin, positions)
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+        o = flash_attention(q, k, v, key_mask=km, causal=True)
+        return o.reshape(b, s, h * hd).astype(jnp.float32)
+
+    def fused(q2, kk2, v2):
+        return flash_attention_fused(
+            q2, kk2, v2, cos, sin, positions, h, key_mask=km,
+            causal=True, num_kv_heads=nkv).astype(jnp.float32)
+
+    o_ref = ref(q2, kk2, v2)
+    o_fus = fused(q2, kk2, v2)
+    np.testing.assert_allclose(np.asarray(o_fus), np.asarray(o_ref),
+                               atol=2e-2, rtol=2e-2)
+
+    w = jax.random.normal(rng, (b, s, h * hd), jnp.float32)
+    g_ref = jax.grad(lambda *a: jnp.sum(ref(*a) * w), argnums=(0, 1, 2))(
+        q2, kk2, v2)
+    g_fus = jax.grad(lambda *a: jnp.sum(fused(*a) * w), argnums=(0, 1, 2))(
+        q2, kk2, v2)
+    for gr, gf in zip(g_ref, g_fus):
+        assert gr.shape == gf.shape
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-2, rtol=5e-2)
 
 
 def test_flash_attention_fused_tp_matches_local():

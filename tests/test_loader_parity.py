@@ -74,6 +74,48 @@ def test_llama_matches_hf():
                                atol=2e-4, rtol=2e-4)
 
 
+def test_llama_gqa_matches_hf():
+    """GQA (num_kv_heads < num_heads): the repeat/grouped-attention path
+    must match HF exactly — this is the oracle the fused GQA kernel test
+    compares against."""
+    from transformers import LlamaConfig as HfLlamaConfig
+    from transformers import LlamaForCausalLM
+
+    hf_cfg = HfLlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=224,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=2048, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_bias=False, tie_word_embeddings=False)
+    torch.manual_seed(1)
+    hf_model = LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = llama_model.LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=224,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+        rms_norm_eps=1e-5, dtype=jnp.float32)
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32),
+        llama_params_from_state(_torch_state_to_numpy(hf_model), cfg))
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(4, 256, (2, 12))
+    mask = np.ones((2, 12), np.int64)
+    mask[1, :2] = 0
+    positions = np.maximum(np.cumsum(mask, axis=1) - 1, 0)
+    with torch.no_grad():
+        hf_out = hf_model(input_ids=torch.tensor(ids),
+                          attention_mask=torch.tensor(mask),
+                          position_ids=torch.tensor(positions),
+                          ).logits.numpy()
+    embeds = llama_model.embed_tokens(params, jnp.asarray(ids))
+    logits, _ = llama_model.forward(
+        params, cfg, embeds, jnp.asarray(mask), jnp.asarray(positions),
+        remat=False, attn_impl="xla")
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(np.asarray(logits)[valid], hf_out[valid],
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_clip_matches_hf():
     from transformers import CLIPVisionConfig as HfClipConfig
     from transformers import CLIPVisionModel
