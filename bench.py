@@ -416,6 +416,29 @@ def main():
         result["projected_v5e8_opa_stage_minutes"] = round(minutes, 1)
         result["reference_a100x4_opa_stage_minutes"] = 30.0
 
+    # Annotate the headline with the measured quantization-quality cost
+    # (scripts/bench_quality.py artifact) so the w8a8 number is never read
+    # without its divergence-vs-bf16 context.
+    qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "QUALITY_r03.json")
+    if os.path.exists(qpath):
+        try:
+            with open(qpath) as f:
+                q = json.load(f)
+            mode = result.get("config", "").split("_b")[0]
+            entry = q.get("scoring", {}).get(mode)
+            if entry:
+                result["quality_vs_bf16"] = {
+                    "mode": mode,
+                    "logprob_mae": entry.get("logprob_mae"),
+                    "lora_grad_cosine": entry.get(
+                        "lora_grad_cosine_vs_bf16",
+                        entry.get("lora_grad_cosine_vs_int8")),
+                    "artifact": os.path.basename(qpath),
+                }
+        except Exception as e:
+            print(f"quality annotation failed: {e}", file=sys.stderr)
+
     print(json.dumps(result))
 
 

@@ -51,6 +51,18 @@ def _init_bf16_params(cfg, seed=0):
         jax.random.PRNGKey(seed), cfg))()
 
 
+def _quantized_params(cfg, bits, seed=0):
+    """Same weights as ``_init_bf16_params(seed)``, quantized — init and
+    quantize INSIDE one program so each bf16 tensor is freed as soon as
+    its int8/int4 version exists (a separate init→quantize donation held
+    both full pytrees and OOM'd the 16 GB chip)."""
+    from opadpo_tpu.models import llava as llava_model
+    from opadpo_tpu.ops import quant
+    return jax.jit(lambda: quant.quantize_params(
+        llava_model.init_params(jax.random.PRNGKey(seed), cfg),
+        bits=bits))()
+
+
 def _lora(cfg, lora_cfg, seed=5):
     from opadpo_tpu.models import llava as llava_model
     lora = jax.jit(lambda: llava_model.init_lora(
@@ -156,14 +168,21 @@ def run_scoring_quality(args) -> dict:
                           alpha=8.0 if args.tiny else 128.0)
     dpo = DpoConfig(response_len=args.response_len, query_len=128,
                     lora_scaling=lora_cfg.scaling)
+    # grads at a reduced response length: the bf16 backward at r=896
+    # needs 13.4G params + 3.3G program temps > 15.75G HBM (measured);
+    # r=256 fits, and all modes are compared at the SAME length so the
+    # cosines stay apples-to-apples
+    grad_len = min(args.response_len, 32 if args.tiny else 256)
+    dpo_g = DpoConfig(response_len=grad_len, query_len=128,
+                      lora_scaling=lora_cfg.scaling)
     b = args.batch
     batch = _batch(cfg, dpo, b)
+    grad_batch = _batch(cfg, dpo_g, b, rng_seed=1)
     masks = np.stack([
         np.asarray(batch["standard_response_attention_mask"]),
         np.asarray(batch["original_generate_response_attention_mask"]),
         np.asarray(batch["AI_pseudo_response_attention_mask"])],
     ).astype(np.float64)
-    lora = None
     results = {}
 
     # ---- bf16 baseline: logprobs + frozen-reference rollout + grads ----
@@ -174,20 +193,22 @@ def run_scoring_quality(args) -> dict:
     lp_ref = _score(params, cfg, dpo, batch, lora=lora)
     print(f"bf16 scoring done in {time.time() - t0:.0f}s", flush=True)
     roll_fn = jax.jit(lambda p, bt, r: rollout_score(
-        p, cfg, dpo, None, bt, r))
-    rollouts = roll_fn(params, batch, jax.random.PRNGKey(9))
+        p, cfg, dpo_g, None, bt, r))
+    rollouts = roll_fn(params, grad_batch, jax.random.PRNGKey(9))
     rollouts = {k: np.asarray(v) for k, v in rollouts.items()}
-    full_batch = {**batch,
-                  **{k: jnp.asarray(v) for k, v in rollouts.items()}}
-    grads_ref = None
+    grad_full = {**grad_batch,
+                 **{k: jnp.asarray(v) for k, v in rollouts.items()}}
+    grads_ref, grad_baseline = None, "bf16"
     try:
-        grads_ref = _grads(params, cfg, dpo, full_batch, lora)
+        grads_ref = _grads(params, cfg, dpo_g, grad_full, lora)
         print("bf16 grads done", flush=True)
     except Exception as e:
+        grad_baseline = "int8"
         print(f"bf16 grad pass failed ({e}); grad cosines will use the "
               f"int8 weight-only mode as baseline", file=sys.stderr)
     del params
-    results["bf16"] = {"logprob_mae": 0.0, "note": "baseline"}
+    results["bf16"] = {"logprob_mae": 0.0, "note": "baseline",
+                       "grad_response_len": grad_len}
 
     # ---- quantized modes, same underlying weights -----------------------
     modes = [
@@ -198,19 +219,17 @@ def run_scoring_quality(args) -> dict:
     ]
     for name, m in modes:
         quant.set_act_quant(m["act"], outlier_cols=m["outl"])
-        bf16 = _init_bf16_params(cfg)        # same seed → same weights
-        qp = jax.jit(lambda p: quant.quantize_params(p, bits=m["bits"]),
-                     donate_argnums=(0,))(bf16)
-        del bf16
+        qp = _quantized_params(cfg, m["bits"])   # same seed/weights
         t0 = time.time()
         lp = _score(qp, cfg, dpo, batch, lora=lora)
         entry = _logprob_metrics(lp, lp_ref, masks)
         try:
-            g = _grads(qp, cfg, dpo, full_batch, lora)
+            g = _grads(qp, cfg, dpo_g, grad_full, lora)
             if grads_ref is None and name == "int8":
                 grads_ref = g
             if grads_ref is not None:
-                entry["lora_grad_cosine_vs_bf16"] = _cosine(g, grads_ref)
+                entry[f"lora_grad_cosine_vs_{grad_baseline}"] = \
+                    _cosine(g, grads_ref)
         except Exception as e:
             entry["grad_error"] = str(e)[:160]
         print(f"{name}: {entry} ({time.time() - t0:.0f}s)", flush=True)
@@ -233,10 +252,7 @@ def run_decode_quality(args) -> dict:
     quant.set_act_quant(False)
     cfg = _model_cfg(args)
     b = 1
-    bf16 = _init_bf16_params(cfg)
-    qp = jax.jit(lambda p: quant.quantize_params(p, bits=8),
-                 donate_argnums=(0,))(bf16)
-    del bf16
+    qp = _quantized_params(cfg, 8)
     llama = llama_model.fuse_for_inference(qp["llama"])
     params = {**qp, "llama": llama_model.unstack_layers(llama)}
     del qp, llama
