@@ -52,15 +52,40 @@ def _init_bf16_params(cfg, seed=0):
 
 
 def _quantized_params(cfg, bits, seed=0):
-    """Same weights as ``_init_bf16_params(seed)``, quantized — init and
-    quantize INSIDE one program so each bf16 tensor is freed as soon as
-    its int8/int4 version exists (a separate init→quantize donation held
-    both full pytrees and OOM'd the 16 GB chip)."""
+    """Same weights as ``_init_bf16_params(seed)``, quantized, WITHOUT
+    ever materializing the full bf16 pytree on device: each weight
+    subtree is generated+quantized in its own program (init_params draws
+    every tensor from an independent split key, so XLA dead-code-
+    eliminates the rest of the init).  One fused whole-model program was
+    measured to peak at bf16+int8 simultaneously and OOM the 16 GB chip;
+    per-piece the peak is one bf16 layer stack (~2.9 GB) + its quantized
+    form."""
     from opadpo_tpu.models import llava as llava_model
     from opadpo_tpu.ops import quant
-    return jax.jit(lambda: quant.quantize_params(
+
+    shapes = jax.eval_shape(lambda: quant.quantize_params(
         llava_model.init_params(jax.random.PRNGKey(seed), cfg),
-        bits=bits))()
+        bits=bits))
+
+    def piece(path):
+        def f():
+            q = quant.quantize_params(
+                llava_model.init_params(jax.random.PRNGKey(seed), cfg),
+                bits=bits)
+            for k in path:
+                q = q[k]
+            return q
+        return jax.jit(f)()
+
+    def is_quant_dict(d):
+        return isinstance(d, dict) and set(d) <= {"q", "q4", "scale"}
+
+    def build(node, path):
+        if isinstance(node, dict) and not is_quant_dict(node):
+            return {k: build(v, path + [k]) for k, v in node.items()}
+        return piece(path)
+
+    return {top: build(sub, [top]) for top, sub in shapes.items()}
 
 
 def _lora(cfg, lora_cfg, seed=5):
@@ -169,10 +194,10 @@ def run_scoring_quality(args) -> dict:
     dpo = DpoConfig(response_len=args.response_len, query_len=128,
                     lora_scaling=lora_cfg.scaling)
     # grads at a reduced response length: the bf16 backward at r=896
-    # needs 13.4G params + 3.3G program temps > 15.75G HBM (measured);
-    # r=256 fits, and all modes are compared at the SAME length so the
-    # cosines stay apples-to-apples
-    grad_len = min(args.response_len, 32 if args.tiny else 256)
+    # needs 13.4G params + 3.3G program temps > 15.75G HBM, and r=256
+    # still OOMs at runtime (both measured); r=128 fits.  All modes are
+    # compared at the SAME length so the cosines stay apples-to-apples.
+    grad_len = min(args.response_len, 32 if args.tiny else 128)
     dpo_g = DpoConfig(response_len=grad_len, query_len=128,
                       lora_scaling=lora_cfg.scaling)
     b = args.batch
@@ -253,9 +278,16 @@ def run_decode_quality(args) -> dict:
     cfg = _model_cfg(args)
     b = 1
     qp = _quantized_params(cfg, 8)
-    llama = llama_model.fuse_for_inference(qp["llama"])
-    params = {**qp, "llama": llama_model.unstack_layers(llama)}
-    del qp, llama
+    # fuse+unstack in ONE donated program: the eager version held the
+    # original + fused + unstacked layouts (3x weights) and OOM'd
+    convert = jax.jit(
+        lambda ll: llama_model.unstack_layers(
+            llama_model.fuse_for_inference(ll)),
+        donate_argnums=(0,))
+    llama_u = convert(qp["llama"])
+    params = {**{k: v for k, v in qp.items() if k != "llama"},
+              "llama": llama_u}
+    del qp, llama_u
 
     rng = np.random.default_rng(3)
     sz = cfg.vision.image_size
@@ -314,6 +346,9 @@ def main():
     p.add_argument("--response-len", type=int, default=896)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--skip-decode", action="store_true")
+    p.add_argument("--skip-scoring", action="store_true",
+                   help="only (re)run the decode section, merging into an "
+                        "existing --out artifact")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model on CPU (machinery smoke test only)")
     args = p.parse_args()
@@ -324,7 +359,11 @@ def main():
               "batch": args.batch,
               "response_len": args.response_len,
               "baseline": "bf16 (reference numerics, qlora_model.py:135-147)"}
-    result["scoring"] = run_scoring_quality(args)
+    if args.skip_scoring and os.path.exists(args.out):
+        with open(args.out) as f:
+            result = json.load(f)
+    else:
+        result["scoring"] = run_scoring_quality(args)
     if not args.skip_decode:
         import gc
         gc.collect()
