@@ -241,17 +241,30 @@ _STREAMING_MAX_M = 1024
 # zeroed out of the int8 base quantization.  k=0 disables it.
 _ACT_QUANT = False
 _ACT_OUTLIER_COLS = 0
+_ACT_BWD_INT8 = False
 
 
-def set_act_quant(enabled: bool, outlier_cols: int = None) -> None:
+def set_act_quant(enabled: bool, outlier_cols: int = None,
+                  bwd_int8: bool = None) -> None:
     """Toggle w8a8 (and optionally the outlier-column count).  Read at
     trace time — set it BEFORE jitting the functions that should use it
-    (already-compiled programs keep the mode they were traced with)."""
-    global _ACT_QUANT, _ACT_OUTLIER_COLS
+    (already-compiled programs keep the mode they were traced with).
+
+    ``bwd_int8`` additionally runs the dx backward of the frozen int8
+    base on the int8 MXU (per-token int8 gradient quantization with the
+    weight's per-column scale folded into the gradient BEFORE
+    quantization — the scale rides the contraction axis in the
+    transposed dot, so it cannot be applied after).  Removes the bf16
+    weight dematerialization pass the dequant-einsum backward pays.
+    Config key: ``act_bwd_int8``; quality measured by
+    scripts/bench_quality.py (mode ``w8a8_bwd8``)."""
+    global _ACT_QUANT, _ACT_OUTLIER_COLS, _ACT_BWD_INT8
     _ACT_QUANT = bool(enabled)
     if outlier_cols is not None:
         assert outlier_cols >= 0, outlier_cols
         _ACT_OUTLIER_COLS = int(outlier_cols)
+    if bwd_int8 is not None:
+        _ACT_BWD_INT8 = bool(bwd_int8)
 
 
 def get_act_quant() -> bool:
@@ -260,6 +273,10 @@ def get_act_quant() -> bool:
 
 def get_act_outlier_cols() -> int:
     return _ACT_OUTLIER_COLS
+
+
+def get_act_bwd_int8() -> bool:
+    return _ACT_BWD_INT8
 
 
 def _rows(x: jax.Array) -> int:
@@ -355,17 +372,40 @@ def _q8_dense_bwd(res, g):
     q, scale = res
     m = _rows(g)
     nd = g.ndim
+
+    def int8_dx():
+        # int8-MXU dx: the weight scale is per OUTPUT column — the
+        # contraction axis of gᵀW — so fold it into g first, then
+        # per-token-quantize the scaled gradient
+        gs = (g.astype(jnp.float32)
+              * scale.reshape((1,) * (nd - 1) + (-1,)))
+        ax = jnp.maximum(
+            jnp.max(jnp.abs(gs), axis=-1, keepdims=True), 1e-20)
+        gq = jnp.clip(jnp.round(gs * (127.0 / ax)),
+                      -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            gq, q, (((nd - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * (ax / 127.0)).astype(g.dtype)
+
+    use_bwd8 = _ACT_QUANT and _ACT_BWD_INT8 and m > _STREAMING_MAX_M
     if jax.default_backend() == "tpu":
         if m > _STREAMING_MAX_M:
-            w = dequantize_weight({"q": q, "scale": scale},
-                                  dtype=jnp.bfloat16)
-            dx = jax.lax.dot_general(
-                g.astype(jnp.bfloat16), w, (((nd - 1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(g.dtype)
+            if use_bwd8:
+                dx = int8_dx()
+            else:
+                w = dequantize_weight({"q": q, "scale": scale},
+                                      dtype=jnp.bfloat16)
+                dx = jax.lax.dot_general(
+                    g.astype(jnp.bfloat16), w,
+                    (((nd - 1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(g.dtype)
         else:
             dx2 = quant_matmul_transposed(g.reshape(m, g.shape[-1]),
                                           {"q": q, "scale": scale})
             dx = dx2.reshape(*g.shape[:-1], -1)
+    elif use_bwd8:
+        dx = int8_dx()
     else:
         w = q.astype(jnp.float32) * scale
         dx = jax.lax.dot_general(

@@ -75,6 +75,7 @@ def train(cfg: Config) -> None:
         bits=int(t.get("bits", 16)),
         act_bits=int(t.get("act_bits", 16)),
         act_outlier_cols=int(t.get("act_outlier_cols", 0)),
+        act_bwd_int8=bool(t.get("act_bwd_int8", False)),
         fused_attention=bool(t.get("fused_attention", True)),
     )
     n_data = mesh.shape["data"]

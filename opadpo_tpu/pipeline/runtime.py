@@ -90,6 +90,7 @@ def setup_model(
     bits: int = 16,
     act_bits: int = 16,
     act_outlier_cols: int = 0,
+    act_bwd_int8: bool = False,
     fused_attention: bool = True,
 ) -> Tuple[LlavaConfig, dict, "jax.sharding.Mesh"]:
     """(cfg, params, mesh).  ``skip_loading_weights`` builds a random-init
@@ -137,7 +138,8 @@ def setup_model(
         # act_outlier_cols > 0 adds static-k LLM.int8 outlier decomposition
         # (top-k amplitude columns stay bf16).
         from opadpo_tpu.ops.quant import set_act_quant
-        set_act_quant(True, outlier_cols=act_outlier_cols)
+        set_act_quant(True, outlier_cols=act_outlier_cols,
+                      bwd_int8=act_bwd_int8)
     elif act_bits != 16:
         raise ValueError(f"act_bits={act_bits} unsupported (16 or 8)")
 

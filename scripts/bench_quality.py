@@ -240,10 +240,12 @@ def run_scoring_quality(args) -> dict:
         ("int8", dict(bits=8, act=False, outl=0)),
         ("w8a8", dict(bits=8, act=True, outl=0)),
         ("w8a8_out32", dict(bits=8, act=True, outl=32)),
+        ("w8a8_bwd8", dict(bits=8, act=True, outl=0, bwd=True)),
         ("int4", dict(bits=4, act=False, outl=0)),
     ]
     for name, m in modes:
-        quant.set_act_quant(m["act"], outlier_cols=m["outl"])
+        quant.set_act_quant(m["act"], outlier_cols=m["outl"],
+                            bwd_int8=m.get("bwd", False))
         qp = _quantized_params(cfg, m["bits"])   # same seed/weights
         t0 = time.time()
         lp = _score(qp, cfg, dpo, batch, lora=lora)
@@ -260,7 +262,7 @@ def run_scoring_quality(args) -> dict:
         print(f"{name}: {entry} ({time.time() - t0:.0f}s)", flush=True)
         results[name] = entry
         del qp
-        quant.set_act_quant(False)
+        quant.set_act_quant(False, bwd_int8=False)
     return results
 
 
@@ -359,10 +361,17 @@ def main():
               "batch": args.batch,
               "response_len": args.response_len,
               "baseline": "bf16 (reference numerics, qlora_model.py:135-147)"}
-    if args.skip_scoring and os.path.exists(args.out):
-        with open(args.out) as f:
-            result = json.load(f)
-    else:
+    # partial reruns merge into the existing artifact instead of dropping
+    # the sections they skip
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prior = json.load(f)
+            if prior.get("scale") == result["scale"]:
+                result = {**prior, **result}
+        except Exception:
+            pass
+    if not args.skip_scoring:
         result["scoring"] = run_scoring_quality(args)
     if not args.skip_decode:
         import gc

@@ -38,6 +38,8 @@ def main():
     p.add_argument("--mode", default="dpo", choices=("dpo", "sft", "rollout"))
     p.add_argument("--bits", type=int, default=8, choices=(16, 8, 4))
     p.add_argument("--act-bits", type=int, default=8, choices=(16, 8))
+    p.add_argument("--bwd-int8", action="store_true",
+                   help="int8-MXU dx backward (quant.set_act_quant bwd_int8)")
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--lora-rank", type=int, default=64)
     p.add_argument("--iters", type=int, default=3)
@@ -54,7 +56,8 @@ def main():
     from opadpo_tpu.models.lora import LoraConfig
     from opadpo_tpu.ops import quant
 
-    quant.set_act_quant(args.act_bits == 8 and args.bits == 8)
+    quant.set_act_quant(args.act_bits == 8 and args.bits == 8,
+                        bwd_int8=args.bwd_int8)
     cfg = llava_model.LlavaConfig.llava_7b()
     lora_cfg = LoraConfig(rank=args.lora_rank, alpha=2.0 * args.lora_rank)
     dpo = DpoConfig(response_len=896, query_len=128,

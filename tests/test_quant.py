@@ -213,6 +213,35 @@ def test_act_quant_flag_switches_large_m_path(monkeypatch):
 
 
 
+def test_bwd_int8_dx_close_to_dequant_backward():
+    """act_bwd_int8: the int8-MXU dx (weight scale folded into g before
+    per-token quantization) stays close to the dequantized-bf16 backward
+    — the w8a8 training accelerator's correctness anchor."""
+    import numpy as np
+    from opadpo_tpu.ops import quant
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(quant._STREAMING_MAX_M + 8, 64)),
+                    jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 32)) * 0.1, jnp.float32)
+    wq = quant.quantize_weight(w)
+    loss = lambda xx: jnp.sum(quant.q8_dense(xx, wq) ** 2)  # noqa: E731
+
+    quant.set_act_quant(True, bwd_int8=False)
+    try:
+        g_ref = np.asarray(jax.grad(loss)(x))
+        quant.set_act_quant(True, bwd_int8=True)
+        g_int8 = np.asarray(jax.grad(loss)(x))
+    finally:
+        quant.set_act_quant(False, bwd_int8=False)
+
+    denom = np.abs(g_ref).mean()
+    assert np.abs(g_int8 - g_ref).mean() / denom < 0.02
+    cos = (g_ref.ravel() @ g_int8.ravel()
+           / (np.linalg.norm(g_ref) * np.linalg.norm(g_int8)))
+    assert cos > 0.999, cos
+
+
 def test_w8a8_outlier_decomposition_restores_accuracy():
     """Static-k outlier decomposition (LLM.int8): with a few huge
     emergent-feature columns, plain per-token int8 loses most of the
