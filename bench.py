@@ -227,7 +227,9 @@ def bench_sft_step(b: int = 4, seq: int = 1600, iters: int = 2) -> dict:
     from opadpo_tpu.models.lora import LoraConfig
     from opadpo_tpu.ops import quant
 
-    quant.set_act_quant(True)
+    # act_bwd_int8: measured grad-cosine 0.9999933 vs bf16 — identical to
+    # the bf16-backward w8a8 mode (QUALITY_r03.json) at −12% step time
+    quant.set_act_quant(True, bwd_int8=True)
     cfg = LlavaConfig.llava_7b()
     lora_cfg = LoraConfig(rank=64, alpha=128.0)
 
@@ -266,7 +268,7 @@ def bench_sft_step(b: int = 4, seq: int = 1600, iters: int = 2) -> dict:
     dt = (time.perf_counter() - t0) / iters
     return {"seconds_per_step": round(dt, 3),
             "seq_per_sec_chip": round(b / dt, 3),
-            "config": f"w8a8_r64_b{b}_seq{seq}"}
+            "config": f"w8a8_bwd8_r64_b{b}_seq{seq}"}
 
 
 def bench_dpo_step(b: int = 2, iters: int = 2) -> dict:
@@ -282,7 +284,7 @@ def bench_dpo_step(b: int = 2, iters: int = 2) -> dict:
     from opadpo_tpu.models.lora import LoraConfig
     from opadpo_tpu.ops import quant
 
-    quant.set_act_quant(True)
+    quant.set_act_quant(True, bwd_int8=True)
     cfg = LlavaConfig.llava_7b()
     lora_cfg = LoraConfig(rank=64, alpha=128.0)
     dpo = DpoConfig(response_len=896, query_len=128,
@@ -345,7 +347,7 @@ def bench_dpo_step(b: int = 2, iters: int = 2) -> dict:
     dt = (time.perf_counter() - t0) / iters
     return {"seconds_per_step": round(dt, 3),
             "rollout_score_seconds": round(roll_dt, 3),
-            "config": f"w8a8_r64_copo_ancpo_b{b}"}
+            "config": f"w8a8_bwd8_r64_copo_ancpo_b{b}"}
 
 
 def bench_flash_attention() -> dict:
@@ -377,8 +379,39 @@ def bench_flash_attention() -> dict:
     }
 
 
+_HOT_LOOPS = {
+    "rollout_decode": lambda: bench_rollout_decode(),
+    "sft_step": lambda: bench_sft_step(),
+    "dpo_step": lambda: bench_dpo_step(),
+}
+
+
+def _run_hot_loop_subprocess(name: str) -> dict:
+    """Each hot-loop bench runs in its OWN process: after the scoring
+    bench (which transiently holds the bf16 7B pytree), in-process HBM
+    fragmentation intermittently OOMs the follow-on benches — a fresh
+    device context per bench is deterministic."""
+    import subprocess
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--only", name],
+        capture_output=True, text=True, timeout=3600)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    return {"error": (proc.stderr or "no output")[-200:]}
+
+
 def main():
-    import gc
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=sorted(_HOT_LOOPS),
+                    help="run one hot-loop bench and print its JSON "
+                         "(used by the subprocess isolation)")
+    args = ap.parse_args()
+    if args.only:
+        print(json.dumps(_HOT_LOOPS[args.only]()))
+        return
 
     try:
         result = bench_dpo_scoring()
@@ -391,19 +424,14 @@ def main():
 
     # All four hot loops in one driver-captured artifact (VERDICT r2
     # item 3): scoring is the headline; rollout decode / SFT / DPO step
-    # land in hot_loops so regressions are bench-visible.  gc between
-    # benches frees each stage's 7B params before the next allocates.
+    # land in hot_loops so regressions are bench-visible.
     hot_loops = {}
-    for name, fn in (("rollout_decode", bench_rollout_decode),
-                     ("sft_step", bench_sft_step),
-                     ("dpo_step", bench_dpo_step)):
-        gc.collect()
+    for name in ("rollout_decode", "sft_step", "dpo_step"):
         try:
-            hot_loops[name] = fn()
+            hot_loops[name] = _run_hot_loop_subprocess(name)
         except Exception as e:
             print(f"{name} bench failed: {e}", file=sys.stderr)
             hot_loops[name] = {"error": str(e)[:200]}
-    gc.collect()
     result["hot_loops"] = hot_loops
 
     # Projected v5e-8 OPA-stage wall-clock vs the reference's ~30 min on

@@ -48,10 +48,39 @@ def _leaf_path_str(path) -> str:
     return "/".join(parts)
 
 
+def _pad_spec(spec: P, leaf) -> P:
+    """Left-pad a 2-D weight spec with None for stacked-layer leading axes."""
+    nd = getattr(leaf, "ndim", len(spec))
+    pad = nd - len(spec)
+    if pad > 0:
+        return P(*([None] * pad + list(spec)))
+    return spec
+
+
 def _spec_for_param(path_str: str, leaf, use_model_axis: bool) -> P:
     if not use_model_axis:
         return P()
-    name = path_str.rsplit("/", 1)[-1]
+    parts = path_str.split("/")
+    name = parts[-1]
+    # Quantized-base leaves (ops/quant.py layouts) inherit the TP layout of
+    # the weight they quantize — the parent path component names the weight:
+    #   int8: q [.., K, N] same spec as the bf16 weight;
+    #         scale [.., 1, N] shards N iff the weight column-shards.
+    #   int4: q4 [.., K/2, N] and group scale [.., K/g, N] both keep the
+    #         weight spec (row shards divide K/2 and K/g for these shapes).
+    # This is what makes QLoRA × tensor-parallel memory-scale: without it
+    # the frozen 13B int8 base replicates onto every model shard.
+    if name in ("q", "q4", "scale") and len(parts) >= 2:
+        parent = parts[-2]
+        for rule_name, spec in _TP_RULES:
+            if parent == rule_name:
+                if name == "scale" and getattr(leaf, "shape", (1, 1))[-2] == 1:
+                    # per-channel int8 scale: only the N axis is real
+                    out_axis = spec[-1] if len(spec) > 0 else None
+                    nd = getattr(leaf, "ndim", 2)
+                    return P(*([None] * (nd - 1) + [out_axis]))
+                return _pad_spec(spec, leaf)
+        return P()
     # LoRA factors keep the TP layout of the base weight on their outer dim:
     # a: [in, r] stays replicated, b: [r, out] shards out if base out-shards.
     base_name = name
@@ -67,11 +96,7 @@ def _spec_for_param(path_str: str, leaf, use_model_axis: bool) -> P:
                 nd = getattr(leaf, "ndim", 2)
                 return P(*([None] * (nd - 1) + [out_axis]))
             # Stacked-layer params have a leading layer axis; pad spec.
-            nd = getattr(leaf, "ndim", len(spec))
-            pad = nd - len(spec)
-            if pad > 0:
-                return P(*([None] * pad + list(spec)))
-            return spec
+            return _pad_spec(spec, leaf)
     return P()
 
 

@@ -222,6 +222,47 @@ def test_tensor_parallel_flash_kernel_f32_tight():
                                atol=2e-4, rtol=2e-4)
 
 
+def test_tensor_parallel_quantized_base_shards_and_matches():
+    """QLoRA × TP: the frozen int8/int4 base's quant leaves inherit the
+    weight's model-axis sharding (without this a 13B int8 base replicates
+    onto every TP shard), and the TP forward matches the replicated
+    oracle."""
+    from opadpo_tpu.ops.quant import quantize_params
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    for bits in (8, 4):
+        qparams = quantize_params(
+            llava_model.init_params(jax.random.PRNGKey(0), CFG), bits=bits)
+        specs = param_partition_specs(qparams, mesh)
+        layer_specs = specs["llama"]["layers"]
+        key = "q" if bits == 8 else "q4"
+        assert "model" in str(layer_specs["wq"][key]), layer_specs["wq"]
+        assert "model" in str(layer_specs["wo"][key]), layer_specs["wo"]
+        assert "model" in str(layer_specs["wq"]["scale"])
+        # row-sharded weight → scales with a singleton K axis (per-channel
+        # int8, or int4 whose K fits one group, as in this tiny config)
+        # stay replicated; N-axis sharding never applies to wo's scale
+        assert "model" not in str(layer_specs["wo"]["scale"])
+
+        qparams_tp = shard_pytree(qparams, specs, mesh)
+        batch = _batch(b=4)
+        bsh = batch_sharding(mesh)
+        args = {k: jax.device_put(batch[k], bsh)
+                for k in ("queries", "queries_attention_mask", "images")}
+
+        def fwd(p, q, m, im):
+            return llava_model.forward(p, CFG, q, m, im,
+                                       remat=False)["logits"]
+
+        out_tp = jax.jit(fwd)(qparams_tp, args["queries"],
+                              args["queries_attention_mask"],
+                              args["images"])
+        out_ref = fwd(qparams, batch["queries"],
+                      batch["queries_attention_mask"], batch["images"])
+        np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_ref),
+                                   atol=2e-2, rtol=2e-2)
+
+
 def test_tensor_parallel_sampler_decode_matches_singlechip():
     """The shipped 13B TP config (mesh.model=2) runs rollout through
     ``Sampler`` with TP-sharded weights — VERDICT r2 weak #2 flagged this
