@@ -188,6 +188,7 @@ def decode_loop_unrolled(
     done_init: Optional[jax.Array] = None,
     max_new: Optional[int] = None,
     return_state: bool = False,
+    sp_used: Optional[int] = None,
 ):
     """Decode over per-layer weights/KV: the while body inlines all layers
     so every weight is a loop constant — the scanned variant re-copied the
@@ -227,7 +228,8 @@ def decode_loop_unrolled(
         done = jnp.logical_or(done, tok == eos)
         logits, suffix = llava_model.decode_step_unrolled(
             params, cfg, tok, prompt_kv_list, prompt_mask, list(suffix),
-            step, positions, lora=lora, lora_scaling=lora_scaling)
+            step, positions, lora=lora, lora_scaling=lora_scaling,
+            sp_used=sp_used)
         return (step + 1, rng, tuple(suffix), positions + 1, logits, done,
                 out)
 
@@ -290,7 +292,6 @@ class Sampler:
         self.chunk = chunk
         self._prefill_fn = {}
         self._decode_fn = {}
-        self._quantize_kv_fn = None
         self._chunk_fn = None
         self._append_fn = None
         self._unstacked = None     # (params_id, lora_id) -> pytrees
@@ -298,16 +299,32 @@ class Sampler:
     def _get_prefill(self, s_prompt: int):
         if s_prompt not in self._prefill_fn:
             if self.unroll:
+                # kv8: quantize inside the prefill program — the bf16
+                # cache stays a per-layer intermediate instead of a
+                # program output (see llava.prefill_unrolled docstring).
+                # Chunked: preallocate at the final folded length so the
+                # folds are in-place (llama.fold_suffix_into_prompt_kv).
+                qkv = self.kv_bits == 8
+                total = self._kv_total_len(s_prompt) if (
+                    qkv and self.chunk) else None
                 self._prefill_fn[s_prompt] = jax.jit(
                     lambda p, lo, q, m, im: llava_model.prefill_unrolled(
                         p, self.cfg, q, m, im, lora=lo,
-                        lora_scaling=self.lora_scaling))
+                        lora_scaling=self.lora_scaling, quantize_kv=qkv,
+                        kv_total_len=total))
             else:
                 self._prefill_fn[s_prompt] = jax.jit(
                     lambda p, lo, q, m, im: llava_model.prefill(
                         p, self.cfg, q, m, im, s_prompt, lora=lo,
                         lora_scaling=self.lora_scaling))
         return self._prefill_fn[s_prompt]
+
+    def _kv_total_len(self, s_prompt: int) -> int:
+        """Final quantized-cache length after all chunked-decode folds:
+        padded prompt + one chunk per fold (the last chunk never folds)."""
+        sp_pad0 = -(-s_prompt // 128) * 128
+        n_chunks = -(-self.sampling.max_new_tokens // self.chunk)
+        return sp_pad0 + (n_chunks - 1) * self.chunk
 
     def _get_decode(self, s_prompt: int):
         if s_prompt not in self._decode_fn:
@@ -350,9 +367,12 @@ class Sampler:
 
     def _generate_chunked(self, params, lora, kv_list, key_mask,
                           positions, last_logits, rng):
-        """Outer python loop over decode chunks; the int8 prompt cache
-        grows by ``chunk`` re-quantized suffix slots per iteration (each
-        length is its own compiled program, shape-cached by jit)."""
+        """Outer python loop over decode chunks.  The int8 prompt cache
+        is PREALLOCATED at its final length by prefill; each fold writes
+        the re-quantized suffix in place (one compiled program, donated
+        → aliased buffers, no two-cache transient), and each chunk's
+        decode program reads only up to its static fill watermark
+        ``sp_used`` (one compile per chunk index, shape-cached)."""
         import numpy as np
 
         from opadpo_tpu.models import llama as llama_model
@@ -361,29 +381,35 @@ class Sampler:
         total = self.sampling.max_new_tokens
         b = key_mask.shape[0]
         if self._chunk_fn is None:
-            # n is static: the FINAL chunk is capped to the remaining
-            # budget (otherwise a 896-token run with c=256 would execute
-            # 1024 steps and waste the overshoot)
+            # n and sp_used are static: the FINAL chunk is capped to the
+            # remaining budget, and sp_used keeps the decode-attention
+            # kernel's reads proportional to the FILLED cache prefix
             self._chunk_fn = jax.jit(
-                lambda p, lo, kv, pm, pos, ll, r, d0, n: decode_loop_unrolled(
+                lambda p, lo, kv, pm, pos, ll, r, d0, n, su:
+                decode_loop_unrolled(
                     p, self.cfg, list(kv), pm, pos, ll, r, self.sampling,
                     lora=lo, lora_scaling=self.lora_scaling,
-                    done_init=d0, max_new=n, return_state=True),
-                static_argnums=(8,))
+                    done_init=d0, max_new=n, return_state=True,
+                    sp_used=su),
+                static_argnums=(8, 9))
             self._append_fn = jax.jit(
-                lambda kv, sfx, pm, filled:
-                llama_model.append_suffix_to_prompt_kv(
-                    list(kv), list(sfx), pm, filled))
-        # mask in CACHE layout (padded): zeros on the quantizer's padding
-        sp_pad = kv_list[0][0]["q"].shape[2]
-        pm = jnp.pad(key_mask, ((0, 0), (0, sp_pad - key_mask.shape[1])))
+                lambda kv, sfx, pm, filled, off:
+                llama_model.fold_suffix_into_prompt_kv(
+                    list(kv), list(sfx), pm, filled, off),
+                donate_argnums=(0, 1, 2))
+        # mask in CACHE layout (padded to the preallocated length):
+        # zeros on the quantizer's padding and the not-yet-filled tail
+        sp_total = kv_list[0][0]["q"].shape[2]
+        sp_pad0 = -(-key_mask.shape[1] // 128) * 128
+        pm = jnp.pad(key_mask, ((0, 0), (0, sp_total - key_mask.shape[1])))
         done = jnp.zeros((b,), bool)
         outs = []
         kv = tuple(kv_list)
         for ci in range(-(-total // c)):
             n = min(c, total - ci * c)
+            sp_used = sp_pad0 + ci * c
             out_c, st = self._chunk_fn(params, lora, kv, pm, positions,
-                                       last_logits, rng, done, n)
+                                       last_logits, rng, done, n, sp_used)
             outs.append(np.asarray(out_c))
             done = st["done"]
             rng, positions, last_logits = (st["rng"], st["positions"],
@@ -391,7 +417,8 @@ class Sampler:
             if ci < -(-total // c) - 1:
                 if bool(jnp.all(done)):
                     break
-                kv, pm = self._append_fn(kv, st["suffix"], pm, st["step"])
+                kv, pm = self._append_fn(kv, st["suffix"], pm, st["step"],
+                                         jnp.int32(sp_used))
                 kv = tuple(kv)
         out = np.concatenate(outs, axis=1)
         if out.shape[1] < total:
@@ -408,13 +435,8 @@ class Sampler:
         pf = self._get_prefill(s_prompt)(params, lora, input_ids,
                                          text_mask, images)
         if self.unroll:
-            kv_list = pf["kv_list"]
+            kv_list = pf["kv_list"]     # int8 dicts when kv_bits == 8
             if self.kv_bits == 8:
-                from opadpo_tpu.models.llama import quantize_prompt_kv_list
-                if self._quantize_kv_fn is None:
-                    self._quantize_kv_fn = jax.jit(
-                        lambda kv: quantize_prompt_kv_list(list(kv)))
-                kv_list = self._quantize_kv_fn(tuple(kv_list))
                 if self.chunk:
                     return self._generate_chunked(
                         params, lora, kv_list, pf["key_mask"],

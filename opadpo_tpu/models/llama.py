@@ -446,7 +446,8 @@ def init_suffix_cache(cfg: LlamaConfig, batch: int, max_new: int) -> dict:
     return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
 
 
-def quantize_prompt_kv(kv: jax.Array) -> dict:
+def quantize_prompt_kv(kv: jax.Array, total_len: Optional[int] = None
+                       ) -> dict:
     """Per-(batch, position, head) symmetric int8 quantization of a prompt
     KV tensor [B, Sp, H, hd] → ``{"q": int8 [B, H, Sp, hd], "scale": f32
     [B, H, Sp]}`` — note the HEAD-MAJOR transpose.
@@ -465,20 +466,25 @@ def quantize_prompt_kv(kv: jax.Array) -> dict:
     q = jnp.round(kv.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
     q = q.transpose(0, 2, 1, 3)
     scale = scale.transpose(0, 2, 1)
-    # pad Sp to the decode-attention kernel's block multiple; pad scales
-    # are 0 so padded K scores the kernel's additive bias alone (−1e30)
-    # and padded V rows contribute nothing
+    # pad Sp to the decode-attention kernel's block multiple — or all the
+    # way to ``total_len`` (chunked decode preallocates the cache at its
+    # final length so later folds are same-shape in-place updates); pad
+    # scales are 0 so padded K scores the kernel's additive bias alone
+    # (−1e30) and padded V rows contribute nothing
     sp = q.shape[2]
-    sp_pad = -(-sp // 128) * 128
+    sp_pad = total_len if total_len is not None else -(-sp // 128) * 128
+    assert sp_pad >= sp and sp_pad % 128 == 0, (sp, sp_pad)
     if sp_pad != sp:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sp_pad - sp), (0, 0)))
         scale = jnp.pad(scale, ((0, 0), (0, 0), (0, sp_pad - sp)))
     return {"q": q, "scale": scale}
 
 
-def quantize_prompt_kv_list(kv_list: list) -> list:
+def quantize_prompt_kv_list(kv_list: list,
+                            total_len: Optional[int] = None) -> list:
     """[(pk, pv), ...] → [(pk_q, pv_q), ...] for decode_forward_unrolled."""
-    return [(quantize_prompt_kv(pk), quantize_prompt_kv(pv))
+    return [(quantize_prompt_kv(pk, total_len),
+             quantize_prompt_kv(pv, total_len))
             for pk, pv in kv_list]
 
 
@@ -520,8 +526,48 @@ def append_suffix_to_prompt_kv(kv_list: list, suffix_list: list,
     return new_kv, new_mask
 
 
+def fold_suffix_into_prompt_kv(kv_list: list, suffix_list: list,
+                               prompt_mask: jax.Array,
+                               filled: jax.Array,
+                               offset: jax.Array) -> tuple:
+    """In-place variant of ``append_suffix_to_prompt_kv`` for a cache
+    PREALLOCATED at final length (``quantize_prompt_kv_list(total_len=)``).
+
+    The concat version reallocates the cache every fold and its jit can
+    never alias input to output (shapes differ), so the fold transiently
+    holds TWO full caches — that peak was the decode batch-size ceiling
+    (B=12 at 7B OOM'd a 16 GB chip).  Here the suffix is written at
+    ``offset`` with ``dynamic_update_slice``: same-shape outputs, so
+    ``donate_argnums=(0,)`` makes the fold truly in-place, and because
+    ``offset``/``filled`` are traced scalars every fold shares ONE
+    compiled program.  The decode step keeps its cost proportional to
+    the FILLED length via the kernel's static ``s_used`` watermark
+    (ops/decode_attention.decode_attention_prompt)."""
+    c = suffix_list[0][0].shape[1]
+    new_kv = []
+    for (pk, pv), (sk, sv) in zip(kv_list, suffix_list):
+        qk = quantize_prompt_kv(sk)
+        qv = quantize_prompt_kv(sv)
+        assert qk["q"].shape[2] == c, (qk["q"].shape, c)
+        new_kv.append((
+            {"q": jax.lax.dynamic_update_slice(
+                pk["q"], qk["q"], (0, 0, offset, 0)),
+             "scale": jax.lax.dynamic_update_slice(
+                 pk["scale"], qk["scale"], (0, 0, offset))},
+            {"q": jax.lax.dynamic_update_slice(
+                pv["q"], qv["q"], (0, 0, offset, 0)),
+             "scale": jax.lax.dynamic_update_slice(
+                 pv["scale"], qv["scale"], (0, 0, offset))},
+        ))
+    pos = jax.lax.broadcasted_iota(jnp.int32, prompt_mask.shape, 1)
+    in_chunk = jnp.logical_and(pos >= offset, pos < offset + filled)
+    new_mask = jnp.where(in_chunk, jnp.ones_like(prompt_mask), prompt_mask)
+    return new_kv, new_mask
+
+
 def _decode_layer(x, lp, ll, pk, pv, sk, sv, *, cfg, lora_scaling,
-                  positions, step, suf_valid, pm, cos, sin, pbias=None):
+                  positions, step, suf_valid, pm, cos, sin, pbias=None,
+                  sp_used=None):
     """One decoder layer's single-token step over (prompt, suffix) KV.
 
     ``pk``/``pv`` are either bf16 arrays [B, Sp, H, hd] or int8 dicts from
@@ -555,7 +601,7 @@ def _decode_layer(x, lp, ll, pk, pv, sk, sv, *, cfg, lora_scaling,
         from opadpo_tpu.ops.decode_attention import decode_attention_prompt
         out_p, m_p, l_p = decode_attention_prompt(
             qh.astype(x.dtype), pk["q"], pk["scale"], pv["q"], pv["scale"],
-            pbias, scale)
+            pbias, scale, s_used=sp_used)
         m_s = jnp.max(ss_scores, axis=-1)                # [B, H]
         m = jnp.maximum(m_p, m_s)
         alpha_p = jnp.exp(m_p - m)
@@ -738,6 +784,7 @@ def decode_forward_unrolled(
     positions: jax.Array,         # [B]
     lora: Optional[dict] = None,  # from unstack_layers too, if present
     lora_scaling: float = 1.0,
+    sp_used: Optional[int] = None,   # static fill watermark (chunked)
 ) -> Tuple[jax.Array, list]:
     """One-token decode with a PYTHON loop over per-layer params.
 
@@ -764,7 +811,7 @@ def decode_forward_unrolled(
             ((0, 0), (0, sp_pad - sp)), constant_values=_NEG_INF)
     kw = dict(cfg=cfg, lora_scaling=lora_scaling, positions=positions,
               step=step, suf_valid=suf_valid, pm=pm, cos=cos, sin=sin,
-              pbias=pbias)
+              pbias=pbias, sp_used=sp_used)
 
     lora_list = tree_get(lora, "layer_list")
     x = embeds

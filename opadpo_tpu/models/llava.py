@@ -291,9 +291,20 @@ def prefill_unrolled(
     lora: Optional[dict] = None,
     lora_scaling: float = 1.0,
     attn_impl: str = "auto",
+    quantize_kv: bool = False,
+    kv_total_len: Optional[int] = None,
 ) -> dict:
     """Prompt pass over per-layer weights → dict(kv_list, last_logits,
-    key_mask [B, Sp], next_position)."""
+    key_mask [B, Sp], next_position).
+
+    ``quantize_kv`` runs llama.quantize_prompt_kv_list INSIDE the traced
+    program, so the bf16 prompt cache is a per-layer intermediate XLA can
+    free rather than a program output — the full bf16 cache (6.4 GB at 7B
+    B=8, Sp≈800) never sits in HBM next to the int8 one.  This is what
+    sets the decode batch-size ceiling on a 16 GB chip.  ``kv_total_len``
+    preallocates the quantized cache at its final (chunked-decode)
+    length so later folds are same-shape in-place updates
+    (llama.fold_suffix_into_prompt_kv)."""
     image_feats = encode_images(params, cfg, images, lora, lora_scaling,
                                 attn_impl=attn_impl)
     text_embeds = llama_model.embed_tokens(params["llama"], input_ids)
@@ -306,6 +317,9 @@ def prefill_unrolled(
         params["llama"], cfg.llama, embeds, key_mask, positions,
         lora=tree_get(lora, "llama"), lora_scaling=lora_scaling,
         attn_impl=attn_impl)
+    if quantize_kv:
+        kv_list = llama_model.quantize_prompt_kv_list(list(kv_list),
+                                                      kv_total_len)
     return {
         "kv_list": kv_list,
         "last_logits": logits[:, 0, :] if logits.ndim == 3 else logits,
@@ -325,12 +339,13 @@ def decode_step_unrolled(
     positions: jax.Array,
     lora: Optional[dict] = None,
     lora_scaling: float = 1.0,
+    sp_used: Optional[int] = None,
 ) -> Tuple[jax.Array, list]:
     embeds = llama_model.embed_tokens(params["llama"], token_ids[:, None])
     return llama_model.decode_forward_unrolled(
         params["llama"], cfg.llama, embeds, prompt_kv_list, prompt_mask,
         suffix_list, step, positions, lora=tree_get(lora, "llama"),
-        lora_scaling=lora_scaling)
+        lora_scaling=lora_scaling, sp_used=sp_used)
 
 
 def decode_step_split(

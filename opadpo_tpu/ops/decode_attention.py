@@ -104,14 +104,24 @@ def decode_attention_prompt(
     sm_scale: float,
     block_h: int = 16,
     block_s: int = 1024,
+    s_used: int | None = None,
     _local: bool = False,
 ) -> tuple:
     """→ (out_unnormalized [B, H, hd] f32, m [B, H] f32, l [B, H] f32).
 
     softmax(scores)·V over the prompt piece only, as flash state:
     ``out / l`` after merging with the suffix piece (see
-    ``models/llama._decode_layer``)."""
+    ``models/llama._decode_layer``).
+
+    ``s_used`` (static, 128-multiple) limits the grid to the first
+    ``s_used`` cache positions: chunked decode preallocates the cache at
+    final length and grows a static fill watermark instead of
+    reallocating — unfilled blocks are never read (their DMA would also
+    be wasted bandwidth; positions past the mask are −1e30 anyway)."""
     b, h, sp, hd = pk_q.shape
+    if s_used is not None:
+        assert 0 < s_used <= sp and s_used % 128 == 0, (s_used, sp)
+        sp = s_used
 
     # Under tensor parallelism the kernel runs inside a shard_map (pallas
     # does not partition under GSPMD — same design as attention._flash_
@@ -134,7 +144,8 @@ def decode_attention_prompt(
             fn = shard_map(
                 lambda q_, pk_, ks_, pv_, vs_, bi_: decode_attention_prompt(
                     q_, pk_, ks_, pv_, vs_, bi_, sm_scale,
-                    block_h=block_h, block_s=block_s, _local=True),
+                    block_h=block_h, block_s=block_s, s_used=s_used,
+                    _local=True),
                 mesh=mesh,
                 in_specs=(q_spec, kv_spec_p, sc_spec_p, kv_spec_p,
                           sc_spec_p, P(DATA_AXIS, None)),

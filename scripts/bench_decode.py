@@ -69,8 +69,18 @@ def main():
     qm = np.ones_like(q)
     images = jnp.zeros((b, 336, 336, 3), jnp.bfloat16)
 
-    pf = jax.jit(lambda p, q, m, im: llava_model.prefill_unrolled(
-        p, cfg, q, m, im))(params, jnp.asarray(q), jnp.asarray(qm), images)
+    # kv8: quantize inside prefill so the bf16 cache never hits HBM as a
+    # program output (it set the decode-batch memory ceiling); chunked:
+    # preallocate at final length so folds are in-place
+    s_prompt = args.query_len - 1 + cfg.num_patches
+    sp_pad0 = -(-s_prompt // 128) * 128
+    kv_total = None
+    if args.chunk:
+        kv_total = sp_pad0 + (-(-args.steps // args.chunk) - 1) * args.chunk
+    pf_fn = jax.jit(lambda p, q, m, im: llava_model.prefill_unrolled(
+        p, cfg, q, m, im, quantize_kv=(args.kv_bits == 8),
+        kv_total_len=kv_total))
+    pf = pf_fn(params, jnp.asarray(q), jnp.asarray(qm), images)
     _ = float(jnp.sum(pf["last_logits"]))
     print("prefill done", flush=True)
 
@@ -78,47 +88,53 @@ def main():
     sampling = SamplingConfig(max_new_tokens=args.steps, temperature=1.0,
                               top_k=30, top_p=0.95, eos_token_id=-1,
                               pad_token_id=0)
-    kv_list = pf["kv_list"]
-    if args.kv_bits == 8:
-        kv_list = jax.jit(lambda kv: llama_model.quantize_prompt_kv_list(
-            list(kv)))(tuple(kv_list))
+    kv_list = pf["kv_list"]     # int8 dicts when --kv-bits 8
 
     if args.chunk:
         assert args.kv_bits == 8 and args.chunk % 128 == 0
         c = args.chunk
         chunk_fn = jax.jit(
-            lambda p, kv, pm, pos, ll, r, d0, n: decode_loop_unrolled(
+            lambda p, kv, pm, pos, ll, r, d0, n, su: decode_loop_unrolled(
                 p, cfg, list(kv), pm, pos, ll, r, sampling,
-                done_init=d0, max_new=n, return_state=True),
-            static_argnums=(7,))
-        append_fn = jax.jit(
-            lambda kv, sfx, pm, filled:
-            llama_model.append_suffix_to_prompt_kv(
-                list(kv), list(sfx), pm, filled))
+                done_init=d0, max_new=n, return_state=True, sp_used=su),
+            static_argnums=(7, 8))
+        fold_fn = jax.jit(
+            lambda kv, sfx, pm, filled, off:
+            llama_model.fold_suffix_into_prompt_kv(
+                list(kv), list(sfx), pm, filled, off),
+            donate_argnums=(0, 1, 2))
 
         def run_chunked(kv0, rng):
-            sp_pad = kv0[0][0]["q"].shape[2]
+            # consumes kv0 (the folds donate it) — caller passes a fresh
+            # prefill cache per run; holding a second copy for the timed
+            # run is itself 2.4 GB at B=12 and OOMs
+            sp_total = kv0[0][0]["q"].shape[2]
             pm = jnp.pad(pf["key_mask"],
-                         ((0, 0), (0, sp_pad - pf["key_mask"].shape[1])))
+                         ((0, 0), (0, sp_total - pf["key_mask"].shape[1])))
             kv = tuple(kv0)
             pos, ll = pf["next_position"], pf["last_logits"]
             done = jnp.zeros((b,), bool)
             n = 0
             for ci in range(-(-args.steps // c)):
                 nc = min(c, args.steps - ci * c)
-                out_c, st = chunk_fn(params, kv, pm, pos, ll, rng, done, nc)
+                su = sp_pad0 + ci * c
+                out_c, st = chunk_fn(params, kv, pm, pos, ll, rng, done,
+                                     nc, su)
                 n += int(st["step"])
                 done, rng = st["done"], st["rng"]
                 pos, ll = st["positions"], st["last_logits"]
                 if ci < -(-args.steps // c) - 1:
-                    kv, pm = append_fn(kv, st["suffix"], pm, st["step"])
+                    kv, pm = fold_fn(kv, st["suffix"], pm, st["step"],
+                                     jnp.int32(su))
                     kv = tuple(kv)
             _ = int(jnp.sum(out_c))
             return n
 
         run_chunked(kv_list, jax.random.PRNGKey(1))     # compile all shapes
+        kv2 = pf_fn(params, jnp.asarray(q), jnp.asarray(qm),
+                    images)["kv_list"]                  # fresh cache
         t0 = time.perf_counter()
-        n = run_chunked(kv_list, jax.random.PRNGKey(1))
+        n = run_chunked(kv2, jax.random.PRNGKey(1))
         dt = time.perf_counter() - t0
         sps = n / dt
         print(f"bits={args.bits} kv={args.kv_bits} head={args.head_bits} "
