@@ -134,7 +134,7 @@ def bench_dpo_scoring() -> dict:
     }
 
 
-def bench_rollout_decode(b: int = 8, steps: int = 896) -> dict:
+def bench_rollout_decode(b: int = 16, steps: int = 896) -> dict:
     """Full-length rollout decode at the recommended decode config
     (bits=4 base, int8 prompt-KV + fused decode kernel, int4 lm_head,
     chunk=256) — reference hot loop #1 (HF ``generate`` 896 new tokens,

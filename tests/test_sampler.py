@@ -300,3 +300,37 @@ def test_append_suffix_fold_preserves_decode_logits():
         up, cfg32, tok, kv2, pm2, empty, jnp.asarray(0), pos)
     np.testing.assert_allclose(np.asarray(lg_b), np.asarray(lg_a),
                                atol=0.05, rtol=0.05)
+
+    # (c) in-place variant: same fold into a cache PREALLOCATED at the
+    # final length (quantize_prompt_kv_list(total_len=)), written at the
+    # old watermark via fold_suffix_into_prompt_kv, decode reading only
+    # up to the new watermark via sp_used — must match (b) exactly
+    sp_used0 = kv_q[0][0]["q"].shape[2]
+    total = sp_used0 + c
+    kv_pre = llama_model.quantize_prompt_kv_list(list(pf["kv_list"]),
+                                                 total_len=total)
+    pm_pre = jnp.pad(pf["key_mask"],
+                     ((0, 0), (0, total - pf["key_mask"].shape[1])))
+    kv3, pm3 = llama_model.fold_suffix_into_prompt_kv(
+        list(kv_pre), list(suffix), pm_pre, jnp.asarray(3),
+        jnp.int32(sp_used0))
+    lg_c, _ = llava_model.decode_step_unrolled(
+        up, cfg32, tok, kv3, pm3, empty, jnp.asarray(0), pos,
+        sp_used=total)
+    np.testing.assert_allclose(np.asarray(lg_c), np.asarray(lg_b),
+                               atol=1e-5, rtol=1e-5)
+    # reading only the filled prefix (sp_used < physical length) must
+    # not change the result either: grow the preallocation by one more
+    # unused chunk and keep sp_used at `total`
+    kv_pre2 = llama_model.quantize_prompt_kv_list(list(pf["kv_list"]),
+                                                  total_len=total + c)
+    pm_pre2 = jnp.pad(pf["key_mask"],
+                      ((0, 0), (0, total + c - pf["key_mask"].shape[1])))
+    kv4, pm4 = llama_model.fold_suffix_into_prompt_kv(
+        list(kv_pre2), list(suffix), pm_pre2, jnp.asarray(3),
+        jnp.int32(sp_used0))
+    lg_d, _ = llava_model.decode_step_unrolled(
+        up, cfg32, tok, kv4, pm4, empty, jnp.asarray(0), pos,
+        sp_used=total)
+    np.testing.assert_allclose(np.asarray(lg_d), np.asarray(lg_b),
+                               atol=1e-5, rtol=1e-5)
