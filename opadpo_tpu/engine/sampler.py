@@ -268,12 +268,17 @@ class Sampler:
 
     ``chunk`` (with ``kv_bits=8``) enables CHUNKED decode: every
     ``chunk`` steps the bf16 suffix carry is re-quantized and folded
-    into the int8 prompt cache (``llama.append_suffix_to_prompt_kv``),
-    so the growing-suffix attention cost is bounded — full-length
-    896-step rollouts averaged 17.5 ms/step at B=8 with a monolithic
-    suffix vs 11.1 over the first 128 steps.  Each chunk boundary is a
-    distinct program shape; they compile once and stay in the
-    persistent cache.  Must be a multiple of 128 (quantizer padding).
+    into the int8 prompt cache, so the growing-suffix attention cost is
+    bounded — full-length 896-step rollouts averaged 17.5 ms/step at
+    B=8 with a monolithic suffix vs 11.1 over the first 128 steps.  The
+    cache is PREALLOCATED at its final length by prefill and each fold
+    writes in place under buffer donation
+    (``llama.fold_suffix_into_prompt_kv``) — the concat-grow variant
+    transiently held two caches and capped the batch at B=8 on a 16 GB
+    chip (B=16 fits in-place: 778 tok/s full-896 vs 627).  Decode
+    programs read only to a static fill watermark (``sp_used``), one
+    compile per chunk index (persistent-cached).  Must be a multiple of
+    128 (quantizer padding / watermark alignment).
     """
 
     def __init__(self, cfg: LlavaConfig, sampling: SamplingConfig,

@@ -38,6 +38,12 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--steps", type=int, default=128)
     p.add_argument("--query-len", type=int, default=128)
+    p.add_argument("--kv-extra", type=int, default=0,
+                   help="A/B probe: preallocate this many EXTRA unused "
+                        "128-multiples of cache length beyond the chunked "
+                        "final length (identical work, longer physical "
+                        "arrays — isolates the cost of reading a prefix "
+                        "of a bigger buffer)")
     args = p.parse_args()
 
     from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
@@ -76,7 +82,8 @@ def main():
     sp_pad0 = -(-s_prompt // 128) * 128
     kv_total = None
     if args.chunk:
-        kv_total = sp_pad0 + (-(-args.steps // args.chunk) - 1) * args.chunk
+        kv_total = sp_pad0 + (-(-args.steps // args.chunk) - 1) * args.chunk \
+            + args.kv_extra * 128
     pf_fn = jax.jit(lambda p, q, m, im: llava_model.prefill_unrolled(
         p, cfg, q, m, im, quantize_kv=(args.kv_bits == 8),
         kv_total_len=kv_total))
