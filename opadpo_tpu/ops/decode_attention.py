@@ -94,6 +94,20 @@ def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref,
             l_ref[0, h, 0] = l_scr[h]
 
 
+def _pick_hblk(h: int, block_h: int) -> int:
+    """Largest divisor of ``h`` that fits the block cap AND is
+    Mosaic-legal as a block dim: the head axis is second-to-last in the
+    q/out/scale blocks, so the block size must be a multiple of 8 or
+    equal to ``h`` itself.  This is a HARDWARE tiling rule that
+    interpret-mode tests do not enforce — h=40 picked 10 on CPU and
+    failed to lower on the chip (13B) — so the choice is unit-tested
+    directly (tests/test_attention.py)."""
+    for cand in range(min(block_h, h), 0, -1):
+        if h % cand == 0 and (cand % 8 == 0 or cand == h):
+            return cand
+    return h          # block == array dim is always legal
+
+
 def decode_attention_prompt(
     q: jax.Array,          # [B, H, hd] (post-rope query for the new token)
     pk_q: jax.Array,       # [B, H, Sp_pad, hd] int8
@@ -155,14 +169,7 @@ def decode_attention_prompt(
             )
             return fn(q, pk_q, k_scale, pv_q, v_scale, bias)
 
-    # largest divisor of h that fits the block cap: h=32 → 16, but 13B's
-    # h=40 → 8 (min(16, 40) = 16 does not divide 40 and crashed the int8-KV
-    # decode path on 13B)
-    hblk = 1
-    for cand in range(min(block_h, h), 0, -1):
-        if h % cand == 0:
-            hblk = cand
-            break
+    hblk = _pick_hblk(h, block_h)
     # largest divisor of sp that is a 128-multiple and fits the VMEM cap:
     # a fixed candidate list degraded to 128-wide blocks on lengths like
     # 896/1152 (chunked-decode growth steps), measured 15% slower

@@ -548,7 +548,16 @@ def quant_matmul4(
         else:
             nk = _cdiv(k, bk_cap)
             block_k = _round_up(_cdiv(k, nk), g)
+            # Mosaic tiling rule: the scale block's second-to-last dim is
+            # block_k//g, which must be a multiple of 8 or span the whole
+            # group axis — 13B's down-proj (K=13824 → bk 6912, 54 groups)
+            # lowered fine in interpret mode and failed on the chip.
+            # Grow to the next K-divisor with 8-aligned groups; K itself
+            # always qualifies (whole-axis block).
+            while block_k < k and (k % block_k or (block_k // g) % 8):
+                block_k += g
     assert block_k % g == 0 and k % block_k == 0, (k, block_k, g)
+    assert (block_k // g) % 8 == 0 or block_k == k, (k, block_k, g)
 
     mp = _round_up(m, 8)
     np_ = _round_up(n, block_n)

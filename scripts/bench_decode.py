@@ -38,6 +38,7 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--steps", type=int, default=128)
     p.add_argument("--query-len", type=int, default=128)
+    p.add_argument("--model", default="7b", choices=("7b", "13b"))
     p.add_argument("--kv-extra", type=int, default=0,
                    help="A/B probe: preallocate this many EXTRA unused "
                         "128-multiples of cache length beyond the chunked "
@@ -53,7 +54,8 @@ def main():
     from opadpo_tpu.models import llava as llava_model
     from opadpo_tpu.ops import quant
 
-    cfg = llava_model.LlavaConfig.llava_7b()
+    cfg = (llava_model.LlavaConfig.llava_13b() if args.model == "13b"
+           else llava_model.LlavaConfig.llava_7b())
     b = args.batch
 
     def build():

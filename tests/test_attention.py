@@ -334,3 +334,21 @@ def test_decode_attention_prompt_head_count_not_divisible_by_16():
     np.testing.assert_allclose(
         np.asarray(o / l[..., None]),
         np.asarray(o_ref / l_ref[..., None]), atol=2e-2, rtol=2e-2)
+
+
+def test_decode_attention_hblk_mosaic_legal():
+    """The head axis is second-to-last in the kernel's q/out/scale blocks,
+    so hblk must divide h AND be a multiple of 8 (or equal h) — Mosaic
+    rejects e.g. (1, 10, 128) on hardware even though 10 divides 40, and
+    interpret-mode tests don't enforce the tiling rule (that exact case
+    shipped and failed to lower on the chip)."""
+    from opadpo_tpu.ops.decode_attention import _pick_hblk
+
+    for h in (1, 2, 4, 6, 8, 12, 16, 20, 24, 32, 40, 48, 64, 80):
+        hblk = _pick_hblk(h, 16)
+        assert h % hblk == 0, (h, hblk)
+        assert hblk % 8 == 0 or hblk == h, (h, hblk)
+    assert _pick_hblk(40, 16) == 8          # 13B: not 10
+    assert _pick_hblk(32, 16) == 16
+    assert _pick_hblk(4, 16) == 4           # tiny test config: whole dim
+    assert _pick_hblk(20, 16) == 20         # no 8-aligned divisor ≤ 16

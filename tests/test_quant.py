@@ -316,17 +316,39 @@ def test_quant_matmul4_matches_dequantized():
     )
     rng = jax.random.PRNGKey(12)
     k1, k2 = jax.random.split(rng)
-    x = jax.random.normal(k1, (40, 256), jnp.float32)
-    w = jax.random.normal(k2, (256, 300), jnp.float32) * 0.1
+    x = jax.random.normal(k1, (40, 2048), jnp.float32)
+    w = jax.random.normal(k2, (2048, 300), jnp.float32) * 0.1
     wq = quantize_weight_int4(w)
     ref = x @ dequantize_weight4(wq, jnp.float32)
     out = quant_matmul4(x, wq)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=5e-3, rtol=5e-3)
-    # multiple K-blocks (block_k = one group)
-    out2 = quant_matmul4(x, wq, block_k=128)
+                               atol=2e-2, rtol=2e-2)
+    # multiple K-blocks — 8 groups per block (the Mosaic-legal minimum;
+    # a 1-group block lowers in interpret mode but not on hardware)
+    out2 = quant_matmul4(x, wq, block_k=1024)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
-                               atol=5e-3, rtol=5e-3)
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_quant_matmul4_13b_down_proj_block_k_mosaic_legal():
+    """K=13824 (13B MLP down-proj): the bk-cap heuristic lands on 6912 →
+    a 54-group scale block, which 8-aligned Mosaic tiling rejects ON
+    HARDWARE (interpret mode lowered it fine and the chip refused).  108
+    groups have no 8-aligned divisor, so selection must fall back to the
+    whole-K block — the in-function asserts enforce the rule; this pins
+    it with the real shape."""
+    from opadpo_tpu.ops.quant import (
+        dequantize_weight4, quant_matmul4, quantize_weight_int4,
+    )
+    rng = jax.random.PRNGKey(5)
+    k1, k2 = jax.random.split(rng)
+    x = jax.random.normal(k1, (4, 13824), jnp.float32)
+    w = jax.random.normal(k2, (13824, 256), jnp.float32) * 0.02
+    wq = quantize_weight_int4(w)
+    ref = x @ dequantize_weight4(wq, jnp.float32)
+    out = quant_matmul4(x, wq)   # would assert if block_k picks 54 groups
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
 
 
 def test_q4_dense_leading_dims_and_grad():
