@@ -33,6 +33,27 @@ def cheap(tree_fn):
         lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
 
 
+def probe_memory(name, jitted, *args):
+    """Compile without executing and report XLA's HBM budget.  The axon
+    tunnel reports compile-time OOM as a recoverable HTTP 500, but a
+    runtime OOM (transfer/execute) can wedge the TPU service — so new
+    (model, batch) points go through this first."""
+    compiled = jitted.lower(*args).compile()
+    try:
+        ma = compiled.memory_analysis()
+        peak = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
+        print(f"{name}: args={ma.argument_size_in_bytes/1e9:.2f} GB "
+              f"out={ma.output_size_in_bytes/1e9:.2f} GB "
+              f"temp={ma.temp_size_in_bytes/1e9:.2f} GB "
+              f"aliased={ma.alias_size_in_bytes/1e9:.2f} GB "
+              f"-> peak~{peak/1e9:.2f} GB (usable 15.75)", flush=True)
+    except Exception as e:                    # older jaxlib / backend gap
+        print(f"{name}: compiled ok; memory_analysis unavailable ({e})",
+              flush=True)
+    return compiled
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="dpo", choices=("dpo", "sft", "rollout"))
@@ -43,6 +64,12 @@ def main():
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--lora-rank", type=int, default=64)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--model", default="7b", choices=("7b", "13b"))
+    p.add_argument("--probe-memory", action="store_true",
+                   help="compile the step and print XLA's peak-HBM "
+                        "analysis WITHOUT executing — a runtime OOM can "
+                        "wedge the TPU service for ~30-60 min, so probe "
+                        "new (model, batch) points first")
     args = p.parse_args()
 
     from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
@@ -58,7 +85,8 @@ def main():
 
     quant.set_act_quant(args.act_bits == 8 and args.bits == 8,
                         bwd_int8=args.bwd_int8)
-    cfg = llava_model.LlavaConfig.llava_7b()
+    cfg = (llava_model.LlavaConfig.llava_13b() if args.model == "13b"
+           else llava_model.LlavaConfig.llava_7b())
     lora_cfg = LoraConfig(rank=args.lora_rank, alpha=2.0 * args.lora_rank)
     dpo = DpoConfig(response_len=896, query_len=128,
                     lora_scaling=lora_cfg.scaling)
@@ -119,6 +147,9 @@ def main():
         # constants and constant folding blows up compile time (CLAUDE.md)
         step = jax.jit(lambda s, p, bt: sft_train_step(s, p, bt, tx, cfg,
                                                        scfg))
+        if args.probe_memory:
+            probe_memory("sft_step", step, state, params, sft_batch)
+            return
         state, stats = step(state, params, sft_batch)
         _ = float(stats["loss/total"])
         t0 = time.perf_counter()
@@ -133,8 +164,18 @@ def main():
     ref_lora = cheap(lambda: llava_model.init_lora(
         jax.random.PRNGKey(1), cfg, lora_cfg))
     roll = jax.jit(lambda p, rl, bt, r: rollout_score(p, cfg, dpo, rl, bt, r))
-    rollouts = roll(params, ref_lora, batch, jax.random.PRNGKey(2))
-    _ = float(jnp.sum(rollouts["ref_base_standard_response_logprobs"]))
+    if args.probe_memory:
+        probe_memory("rollout_score", roll, params, ref_lora, batch,
+                     jax.random.PRNGKey(2))
+        if args.mode == "rollout":
+            return
+        # synthesize the rollout outputs so the dpo step can be probed
+        # without executing the scoring program
+        rollouts = cheap(lambda: rollout_score(
+            params, cfg, dpo, ref_lora, batch, jax.random.PRNGKey(2)))
+    else:
+        rollouts = roll(params, ref_lora, batch, jax.random.PRNGKey(2))
+        _ = float(jnp.sum(rollouts["ref_base_standard_response_logprobs"]))
     if args.mode == "rollout":
         t0 = time.perf_counter()
         for _ in range(args.iters):
@@ -152,6 +193,9 @@ def main():
     state = TrainState.create(lora0, tx)
     step = jax.jit(lambda s, p, bt: dpo_train_step(s, p, bt, tx, cfg, dpo),
                    donate_argnums=(0,))
+    if args.probe_memory:
+        probe_memory("dpo_step", step, state, params, full_batch)
+        return
     state, stats = step(state, params, full_batch)
     _ = float(stats["loss/total"])
     t0 = time.perf_counter()
