@@ -145,8 +145,12 @@ def main():
         scfg = SftConfig(lora_scaling=lora_cfg.scaling)
         # params MUST be a jit argument: closed-over arrays become XLA
         # constants and constant folding blows up compile time (CLAUDE.md)
+        # donate the train state like the production driver
+        # (opa_train.py) — at 13B the non-donated output is 1.67 GB of
+        # the 15.75 GB budget
         step = jax.jit(lambda s, p, bt: sft_train_step(s, p, bt, tx, cfg,
-                                                       scfg))
+                                                       scfg),
+                       donate_argnums=(0,))
         if args.probe_memory:
             probe_memory("sft_step", step, state, params, sft_batch)
             return
