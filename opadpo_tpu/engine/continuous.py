@@ -1,0 +1,310 @@
+"""Continuous (in-flight) batching over the preallocated int8 KV cache.
+
+The reference serves nothing (offline eval scripts only) and its HF
+``generate`` path is batch-synchronous: a batch's slowest sequence holds
+every response, and new requests wait for the whole batch to finish.
+This engine decodes a fixed pool of B slots in short SEGMENTS and refills
+finished slots between segments, so a request's latency tracks its OWN
+length — the TPU-idiomatic version of vLLM-style continuous batching
+under XLA's static-shape rules:
+
+- The KV cache is the chunked-decode design (engine/sampler.Sampler
+  docstring): per-layer int8 prompt cache preallocated at
+  ``S_total = prompt_cap + max_new`` plus a small bf16 suffix carried
+  through each segment's ``lax.while_loop``.  Admission and folds are
+  same-shape donated updates — nothing reallocates, ever.
+- ADMISSION: a new request is prefilled alone (B=1, fixed prompt bucket →
+  one compile) and written into its slot row with
+  ``jax.lax.dynamic_update_slice`` under buffer donation.
+- SEGMENT: ``decode_loop_unrolled`` runs ``seg_len`` steps for the whole
+  pool; finished/free rows ride along masked by ``done`` (they emit pads
+  and their logits are ignored).  One compiled program for every segment
+  (the prompt-read watermark ``sp_used`` is bucketed to limit recompiles).
+- FOLD: each row's new tokens are re-quantized and folded into the int8
+  cache at that row's OWN fill offset — rows are at different lengths, so
+  unlike the rollout sampler's shared static offset this fold gathers the
+  suffix through per-row indices (one ``take_along_axis`` + ``where`` per
+  tensor; a full cache rewrite, amortized over ``seg_len`` steps).
+
+Rope positions, attention masks, and EOS handling are all per-row
+already (the rollout sampler needs them for ragged prompts), which is
+what makes slot reuse a pure bookkeeping exercise on top.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opadpo_tpu.engine.sampler import decode_loop_unrolled
+from opadpo_tpu.engine.sampling import SamplingConfig
+from opadpo_tpu.models import llama as llama_model
+from opadpo_tpu.models import llava as llava_model
+from opadpo_tpu.models.llava import LlavaConfig
+
+
+def fold_suffix_per_row(kv_list: list, suffix_list: list,
+                        pm: jax.Array,          # [B, S_total]
+                        row_len: jax.Array,     # [B] fill offset per row
+                        n_valid: jax.Array) -> tuple:
+    """Fold each row's first ``n_valid[i]`` suffix entries into the int8
+    cache at position ``row_len[i]`` — the per-row-offset analogue of
+    ``llama.fold_suffix_into_prompt_kv`` (whose single static offset
+    assumes every row is at the same length; continuous slots are not).
+
+    Implemented as a gather: for cache position j of row i, take suffix
+    slot ``j - row_len[i]`` when ``0 <= j - row_len[i] < n_valid[i]``,
+    else keep the existing entry.  One pass over the cache per fold —
+    bandwidth-bound and amortized over the segment; per-row
+    ``dynamic_update_slice`` would unroll B × L × 4 scatter programs.
+    Quantization is per-(row, position, head) (llama.quantize_prompt_kv)
+    so values are identical regardless of when a token is folded.
+    """
+    b, s_total = pm.shape
+    j = jax.lax.broadcasted_iota(jnp.int32, (b, s_total), 1)
+    idx = j - row_len[:, None]                              # [B, S]
+    in_rng = jnp.logical_and(idx >= 0, idx < n_valid[:, None])
+    nseg = suffix_list[0][0].shape[1]
+    idx_c = jnp.clip(idx, 0, nseg - 1)
+
+    new_kv = []
+    for (pk, pv), (sk, sv) in zip(kv_list, suffix_list):
+        row = []
+        for pc, sc in ((pk, sk), (pv, sv)):
+            qc = llama_model.quantize_prompt_kv(sc)  # q [B,H,nseg,hd]
+            h, hd = qc["q"].shape[1], qc["q"].shape[3]
+            gi = jnp.broadcast_to(idx_c[:, None, :, None],
+                                  (b, h, s_total, hd))
+            gq = jnp.take_along_axis(qc["q"], gi, axis=2)
+            gs = jnp.take_along_axis(qc["scale"], idx_c[:, None, :], axis=2)
+            row.append({
+                "q": jnp.where(in_rng[:, None, :, None], gq, pc["q"]),
+                "scale": jnp.where(in_rng[:, None, :], gs, pc["scale"]),
+            })
+        new_kv.append(tuple(row))
+    new_pm = jnp.where(in_rng, jnp.ones_like(pm), pm)
+    return new_kv, new_pm
+
+
+@dataclasses.dataclass
+class _Slot:
+    request_id: int
+    tokens: List[np.ndarray]            # per-segment kept tokens
+    emitted: int = 0
+    finished: bool = False
+
+
+class ContinuousEngine:
+    """Slot-pool decode engine.  Usage::
+
+        eng = ContinuousEngine(cfg, sampling, params, lora=...,
+                               max_batch=8, qlen=128, seg_len=64)
+        rid = eng.add_request(ids_1d, mask_1d, image)   # host numpy/jnp
+        while eng.has_work():
+            for rid, toks in eng.step():
+                ...                                     # finished rollouts
+
+    ``params``/``lora`` must already be in the per-layer decode layout
+    (``Sampler.prepare_params``).  ``sampling.max_new_tokens`` is the
+    per-request generation cap; ``seg_len`` is the scheduling quantum
+    (latency ≈ one segment; admission happens between segments).
+    """
+
+    def __init__(self, cfg: LlavaConfig, sampling: SamplingConfig,
+                 params: dict, lora: Optional[dict] = None,
+                 lora_scaling: float = 1.0, max_batch: int = 8,
+                 qlen: int = 128, seg_len: int = 64, su_bucket: int = 256,
+                 rng: Optional[jax.Array] = None):
+        assert "layer_list" in params.get("llama", {}), \
+            "params must be in decode layout (Sampler.prepare_params)"
+        self.cfg = cfg
+        self.sampling = sampling
+        self.params = params
+        self.lora = lora
+        self.lora_scaling = lora_scaling
+        self.b = max_batch
+        self.qlen = qlen
+        self.seg_len = seg_len
+        self.su_bucket = max(128, (su_bucket // 128) * 128)
+        self.rng = jax.random.PRNGKey(0) if rng is None else rng
+
+        self.sp_splice = qlen - 1 + cfg.num_patches
+        self.s_total = -(-(self.sp_splice + sampling.max_new_tokens)
+                         // 128) * 128
+        self._queue: List[Tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
+        self._slots: List[Optional[_Slot]] = [None] * self.b
+        self._next_id = 0
+        self._state = None          # (kv, pm, pos, ll, row_len)
+
+        self._prefill_fn = jax.jit(
+            lambda p, lo, q, m, im: llava_model.prefill_unrolled(
+                p, cfg, q, m, im, lora=lo, lora_scaling=lora_scaling,
+                quantize_kv=True))
+        self._seg_fn = jax.jit(
+            lambda p, lo, kv, pm, pos, ll, r, d0, n, su:
+            decode_loop_unrolled(
+                p, cfg, list(kv), pm, pos, ll, r, sampling, lora=lo,
+                lora_scaling=lora_scaling, done_init=d0, max_new=n,
+                return_state=True, sp_used=su),
+            static_argnums=(8, 9))
+        self._fold_fn = jax.jit(
+            lambda kv, sfx, pm, rl, nv: fold_suffix_per_row(
+                list(kv), list(sfx), pm, rl, nv),
+            donate_argnums=(0, 2))
+        self._admit_fn = jax.jit(self._admit_impl,
+                                 donate_argnums=(0, 1, 2, 3, 4))
+
+    # -- request intake -------------------------------------------------
+
+    def add_request(self, input_ids, text_mask, image) -> int:
+        """Queue one request (1-D prompt ids/mask, one image).  The prompt
+        is left-padded/truncated to the engine's fixed ``qlen`` bucket."""
+        ids = np.asarray(input_ids)[-self.qlen:]
+        msk = np.asarray(text_mask)[-self.qlen:]
+        q = np.zeros((self.qlen,), ids.dtype)
+        m = np.zeros((self.qlen,), msk.dtype)
+        q[-len(ids):] = ids
+        m[-len(msk):] = msk
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, q, m, np.asarray(image)))
+        return rid
+
+    def has_work(self) -> bool:
+        return bool(self._queue) or any(
+            s is not None and not s.finished for s in self._slots)
+
+    # -- device state ---------------------------------------------------
+
+    def _init_state(self, row_kv):
+        """Zero pool state shaped from the first admitted row's prefill."""
+        st = self.s_total
+
+        def mk():
+            kv = []
+            for pk, pv in row_kv:
+                h, hd = pk["q"].shape[1], pk["q"].shape[3]
+                kv.append(tuple(
+                    {"q": jnp.zeros((self.b, h, st, hd), jnp.int8),
+                     "scale": jnp.zeros((self.b, h, st),
+                                        pk["scale"].dtype)}
+                    for _ in range(2)))
+            return tuple(kv)
+
+        kv = jax.jit(mk)()
+        pm = jnp.zeros((self.b, st), jnp.int32)
+        pos = jnp.zeros((self.b,), jnp.int32)
+        v = self.cfg.llama.vocab_size
+        ll = jnp.zeros((self.b, v), jnp.float32)
+        row_len = jnp.zeros((self.b,), jnp.int32)
+        return [kv, pm, pos, ll, row_len]
+
+    def _admit_impl(self, kv, pm, pos, ll, row_len,
+                    row_kv, row_mask, row_pos, row_ll, slot):
+        """Write one prefilled row into slot ``slot`` (traced scalar →
+        one compiled program for every admission)."""
+        new_kv = []
+        for (pk, pv), (rk, rv) in zip(kv, row_kv):
+            row = []
+            for pc, rc in ((pk, rk), (pv, rv)):
+                sp = rc["q"].shape[2]
+                q = jax.lax.dynamic_update_slice(
+                    pc["q"],
+                    jnp.zeros_like(pc["q"][:1]).at[:, :, :sp].set(
+                        rc["q"].astype(pc["q"].dtype)),
+                    (slot, 0, 0, 0))
+                sc = jax.lax.dynamic_update_slice(
+                    pc["scale"],
+                    jnp.zeros_like(pc["scale"][:1]).at[:, :, :sp].set(
+                        rc["scale"].astype(pc["scale"].dtype)),
+                    (slot, 0, 0))
+                row.append({"q": q, "scale": sc})
+            new_kv.append(tuple(row))
+        mrow = jnp.zeros_like(pm[:1]).at[:, :row_mask.shape[1]].set(
+            row_mask.astype(pm.dtype))
+        pm = jax.lax.dynamic_update_slice(pm, mrow, (slot, 0))
+        pos = jax.lax.dynamic_update_slice(
+            pos, row_pos.astype(pos.dtype), (slot,))
+        ll = jax.lax.dynamic_update_slice(
+            ll, row_ll.astype(ll.dtype), (slot, 0))
+        row_len = jax.lax.dynamic_update_slice(
+            row_len, jnp.full((1,), self.sp_splice, row_len.dtype), (slot,))
+        return tuple(new_kv), pm, pos, ll, row_len
+
+    # -- scheduling -----------------------------------------------------
+
+    def _admit_pending(self):
+        for slot_idx in range(self.b):
+            if not self._queue:
+                break
+            if self._slots[slot_idx] is not None \
+                    and not self._slots[slot_idx].finished:
+                continue
+            rid, q, m, img = self._queue.pop(0)
+            pf = self._prefill_fn(self.params, self.lora,
+                                  jnp.asarray(q)[None],
+                                  jnp.asarray(m)[None],
+                                  jnp.asarray(img)[None])
+            if self._state is None:
+                self._state = self._init_state(pf["kv_list"])
+            kv, pm, pos, ll, row_len = self._state
+            kv, pm, pos, ll, row_len = self._admit_fn(
+                kv, pm, pos, ll, row_len, tuple(pf["kv_list"]),
+                pf["key_mask"], pf["next_position"], pf["last_logits"],
+                jnp.int32(slot_idx))
+            self._state = [kv, pm, pos, ll, row_len]
+            self._slots[slot_idx] = _Slot(request_id=rid, tokens=[])
+
+    def step(self) -> List[Tuple[int, np.ndarray]]:
+        """Admit pending requests, decode one segment, fold, and return
+        the requests that finished this segment as (request_id, tokens)."""
+        self._admit_pending()
+        if self._state is None:
+            return []
+        active = [s is not None and not s.finished for s in self._slots]
+        if not any(active):
+            return []
+        kv, pm, pos, ll, row_len = self._state
+
+        max_len = max(int(x) for x, a in
+                      zip(np.asarray(row_len), active) if a)
+        su = min(self.s_total,
+                 -(-max_len // self.su_bucket) * self.su_bucket)
+        assert max_len + 0 <= self.s_total, (max_len, self.s_total)
+
+        done0 = jnp.asarray(np.logical_not(active))
+        self.rng, sub = jax.random.split(self.rng)
+        out_c, st = self._seg_fn(self.params, self.lora, kv, pm, pos, ll,
+                                 sub, done0, self.seg_len, su)
+        out = np.asarray(out_c)
+        eos = self.sampling.eos_token_id
+        cap = self.sampling.max_new_tokens
+
+        finished: List[Tuple[int, np.ndarray]] = []
+        n_valid = np.zeros((self.b,), np.int32)
+        for i, slot in enumerate(self._slots):
+            if slot is None or slot.finished or not active[i]:
+                continue
+            row = out[i]
+            hit = np.nonzero(row == eos)[0]
+            raw = int(hit[0]) + 1 if hit.size else self.seg_len
+            keep = min(raw, cap - slot.emitted)
+            n_valid[i] = keep
+            slot.tokens.append(row[:keep])
+            slot.emitted += keep
+            if hit.size and hit[0] < keep or slot.emitted >= cap:
+                slot.finished = True
+                toks = np.concatenate(slot.tokens) if slot.tokens \
+                    else np.zeros((0,), np.int32)
+                finished.append((slot.request_id, toks))
+
+        kv, pm = self._fold_fn(kv, st["suffix"], pm,
+                               row_len, jnp.asarray(n_valid))
+        row_len = row_len + jnp.asarray(n_valid)
+        self._state = [tuple(kv), pm, st["positions"], st["last_logits"],
+                       row_len]
+        return finished

@@ -135,6 +135,90 @@ class InferenceWorker:
             s["done"].set()
 
 
+class ContinuousWorker:
+    """Slot-pool serving (``--continuous``): requests are admitted into a
+    fixed pool of decode slots between short segments and respond when
+    THEIR generation finishes — a long response no longer holds back the
+    micro-batch (engine/continuous.ContinuousEngine)."""
+
+    def __init__(self, params, cfg, tokenizer, lora=None,
+                 lora_scaling: float = 1.0, max_batch: int = 8,
+                 max_new_tokens: int = 512, seg_len: int = 64,
+                 head_bits: int = 16):
+        from opadpo_tpu.engine.continuous import ContinuousEngine
+        from opadpo_tpu.engine.sampler import Sampler
+        from opadpo_tpu.engine.sampling import SamplingConfig
+
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.sampling = SamplingConfig(
+            greedy=True, max_new_tokens=max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id)
+        prep = Sampler(cfg, self.sampling, lora_scaling=lora_scaling,
+                       kv_bits=8, head_bits=head_bits)
+        params, lora = prep.prepare_params(params, lora)
+        self.engine = ContinuousEngine(
+            cfg, self.sampling, params, lora=lora,
+            lora_scaling=lora_scaling, max_batch=max_batch,
+            seg_len=seg_len)
+        self.queue: "queue.Queue" = queue.Queue()
+        self._pending: Dict[int, Dict] = {}
+        self._t0: Dict[int, float] = {}
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    submit = InferenceWorker.submit
+
+    def _admit(self, slot: Dict):
+        from opadpo_tpu.data.image_processing import clip_preprocess
+        from opadpo_tpu.data.tokenization import tokenizer_image_token
+        from opadpo_tpu.eval.model_vqa import build_prompt
+        from PIL import Image
+
+        req = slot["request"]
+        img_size = self.cfg.vision.image_size
+        prompt = build_prompt(req.get("prompt", ""))
+        ids = np.asarray(tokenizer_image_token(prompt, self.tokenizer),
+                         np.int64)
+        img_b64 = req.get("image_b64")
+        img = (Image.open(io.BytesIO(base64.b64decode(img_b64)))
+               if img_b64 else Image.new("RGB", (img_size, img_size)))
+        pixels = clip_preprocess(img, size=img_size)
+        rid = self.engine.add_request(ids, np.ones_like(ids), pixels)
+        self._pending[rid] = slot
+        self._t0[rid] = time.time()
+
+    def _loop(self):
+        from opadpo_tpu.engine.sampler import truncate_after_tokens
+        while True:
+            # block only when idle; otherwise drain without waiting
+            if not self.engine.has_work():
+                self._admit(self.queue.get())
+            while True:
+                try:
+                    self._admit(self.queue.get_nowait())
+                except queue.Empty:
+                    break
+            try:
+                for rid, toks in self.engine.step():
+                    slot = self._pending.pop(rid)
+                    toks = truncate_after_tokens(
+                        toks[None], self.tokenizer.eos_token_id,
+                        self.tokenizer.pad_token_id)
+                    text = self.tokenizer.batch_decode(
+                        toks, skip_special_tokens=True)[0]
+                    slot["response"] = {
+                        "text": text.strip(),
+                        "latency_s": round(time.time()
+                                           - self._t0.pop(rid), 3)}
+                    slot["done"].set()
+            except Exception as e:
+                for rid, slot in list(self._pending.items()):
+                    slot["response"] = {"error": str(e)}
+                    slot["done"].set()
+                self._pending.clear()
+
+
 def make_handler(worker: InferenceWorker):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -184,6 +268,13 @@ def main():
                    help="int4 lm_head during decode")
     p.add_argument("--decode-chunk", type=int, default=0,
                    help="fold suffix KV into the prompt cache every N steps")
+    p.add_argument("--continuous", action="store_true",
+                   help="slot-pool continuous batching: admit requests "
+                        "into free decode slots between segments instead "
+                        "of batch-synchronous generate (implies int8 KV)")
+    p.add_argument("--seg-len", type=int, default=64,
+                   help="continuous mode: decode steps per scheduling "
+                        "segment (admission latency quantum)")
     args = p.parse_args()
 
     from opadpo_tpu.models.loader import load_peft_adapter
@@ -201,12 +292,21 @@ def main():
                                            "adapter_config.json")))
         scaling = acfg["lora_alpha"] / acfg["r"]
 
-    worker = InferenceWorker(params, cfg, tokenizer, lora=lora,
-                             lora_scaling=scaling,
-                             max_batch=args.max_batch,
-                             max_new_tokens=args.max_new_tokens,
-                             kv_bits=args.kv_bits, head_bits=args.head_bits,
-                             decode_chunk=args.decode_chunk)
+    if args.continuous:
+        worker = ContinuousWorker(params, cfg, tokenizer, lora=lora,
+                                  lora_scaling=scaling,
+                                  max_batch=args.max_batch,
+                                  max_new_tokens=args.max_new_tokens,
+                                  seg_len=args.seg_len,
+                                  head_bits=args.head_bits)
+    else:
+        worker = InferenceWorker(params, cfg, tokenizer, lora=lora,
+                                 lora_scaling=scaling,
+                                 max_batch=args.max_batch,
+                                 max_new_tokens=args.max_new_tokens,
+                                 kv_bits=args.kv_bits,
+                                 head_bits=args.head_bits,
+                                 decode_chunk=args.decode_chunk)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(worker))
     print(f"serving on :{args.port}")

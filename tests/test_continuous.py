@@ -1,0 +1,147 @@
+"""Continuous (slot-pool) batching engine: per-row isolation, slot
+reuse, EOS slot-freeing, and ground-truth greedy parity on the tiny
+model.  (The reference has no serving path at all — HF ``generate`` is
+batch-synchronous — so these tests define the behavior contract.)"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
+from opadpo_tpu.engine.continuous import ContinuousEngine
+from opadpo_tpu.engine.sampler import Sampler
+from opadpo_tpu.engine.sampling import SamplingConfig
+from opadpo_tpu.models import llava as llava_model
+from opadpo_tpu.models.llava import LlavaConfig
+
+CFG = LlavaConfig.tiny()
+# f32 everywhere: bf16 eager-vs-jit rounding flips argmax on the
+# near-uniform tiny model (same choice as test_sampler)
+CFG32 = LlavaConfig(
+    dataclasses.replace(CFG.llama, dtype=jnp.float32),
+    dataclasses.replace(CFG.vision, dtype=jnp.float32),
+    dataclasses.replace(CFG.projector, dtype=jnp.float32))
+PARAMS32 = llava_model.init_params(jax.random.PRNGKey(0), CFG32)
+QLEN = 10
+
+
+def _request(seed: int):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    ids = np.array(jax.random.randint(k1, (QLEN,), 5,
+                                      CFG32.llama.vocab_size))
+    ids[2] = IMAGE_TOKEN_INDEX
+    mask = np.ones((QLEN,), np.int32)
+    sz = CFG32.vision.image_size
+    image = np.asarray(jax.random.normal(k2, (sz, sz, 3)), np.float32)
+    return ids, mask, image
+
+
+def _engine(max_batch: int, max_new: int, seg_len: int, eos: int = -1):
+    sampling = SamplingConfig(greedy=True, max_new_tokens=max_new,
+                              eos_token_id=eos, pad_token_id=0)
+    params, _ = Sampler(CFG32, sampling, kv_bits=8).prepare_params(PARAMS32)
+    return ContinuousEngine(CFG32, sampling, params, max_batch=max_batch,
+                            qlen=QLEN, seg_len=seg_len)
+
+
+def _run_all(eng):
+    done = {}
+    for _ in range(200):
+        if not eng.has_work():
+            break
+        for rid, toks in eng.step():
+            done[rid] = toks
+    assert not eng.has_work()
+    return done
+
+
+def _naive_greedy(ids, mask, image, n_new):
+    """Ground truth: rerun the full forward per step, argmax."""
+    cur_ids = jnp.asarray(ids)[None]
+    cur_mask = jnp.asarray(mask)[None]
+    img = jnp.asarray(image)[None]
+    out = []
+    for _ in range(n_new):
+        o = llava_model.forward(PARAMS32, CFG32, cur_ids, cur_mask, img,
+                                remat=False)
+        nxt = jnp.argmax(o["logits"][:, -1, :], axis=-1).astype(jnp.int32)
+        out.append(int(nxt[0]))
+        cur_ids = jnp.concatenate([cur_ids, nxt[:, None]], axis=1)
+        cur_mask = jnp.concatenate(
+            [cur_mask, jnp.ones((1, 1), jnp.int32)], axis=1)
+    return np.asarray(out, np.int32)
+
+
+def test_single_request_matches_naive_greedy():
+    """One request through segments+folds equals full-forward greedy
+    (int8 KV rounding does not flip argmax on the f32 tiny model —
+    same tolerance contract as test_int8_prompt_kv_decode)."""
+    ids, mask, image = _request(7)
+    eng = _engine(max_batch=2, max_new=6, seg_len=2)
+    rid = eng.add_request(ids, mask, image)
+    done = _run_all(eng)
+    np.testing.assert_array_equal(done[rid],
+                                  _naive_greedy(ids, mask, image, 6))
+
+
+def test_slot_isolation_and_reuse():
+    """4 requests through a 2-slot pool: every request's tokens must be
+    bitwise identical to running it alone through the engine — neighbors
+    in other slots and slot reuse must not leak."""
+    reqs = [_request(s) for s in (11, 12, 13, 14)]
+    solo = {}
+    for i, (ids, mask, image) in enumerate(reqs):
+        eng = _engine(max_batch=2, max_new=4, seg_len=2)
+        rid = eng.add_request(ids, mask, image)
+        solo[i] = _run_all(eng)[rid]
+
+    eng = _engine(max_batch=2, max_new=4, seg_len=2)
+    rids = [eng.add_request(*r) for r in reqs]
+    done = _run_all(eng)
+    assert len(done) == 4
+    for i, rid in enumerate(rids):
+        np.testing.assert_array_equal(done[rid], solo[i], err_msg=f"req {i}")
+
+
+def test_staggered_admission_matches_solo():
+    """A request admitted mid-stream (after another request's segments
+    already advanced the pool) still matches its solo run."""
+    r1, r2 = _request(21), _request(22)
+    eng = _engine(max_batch=2, max_new=6, seg_len=2)
+    rid1 = eng.add_request(*r1)
+    eng.step()                      # r1 runs a segment alone
+    rid2 = eng.add_request(*r2)     # r2 admitted into the running pool
+    done = _run_all(eng)
+    done.setdefault(rid1, None)
+
+    solo2 = _engine(max_batch=2, max_new=6, seg_len=2)
+    srid = solo2.add_request(*r2)
+    np.testing.assert_array_equal(done[rid2], _run_all(solo2)[srid])
+
+
+def test_eos_frees_slot_and_budget_cap():
+    """EOS finishes a request early (tokens end at EOS) and the freed
+    slot serves a queued request; a never-EOS request stops at the cap,
+    including a cap that is not a multiple of seg_len."""
+    ids, mask, image = _request(31)
+    probe = _engine(max_batch=1, max_new=3, seg_len=2)
+    prid = probe.add_request(ids, mask, image)
+    first = int(_run_all(probe)[prid][1])   # 2nd greedy token → EOS below
+
+    eng = _engine(max_batch=1, max_new=5, seg_len=2, eos=first)
+    rid1 = eng.add_request(ids, mask, image)
+    other = _request(32)
+    rid2 = eng.add_request(*other)          # queued: pool is 1 slot
+    done = _run_all(eng)
+    # EOS ends the response (the chosen id may also be sampled earlier
+    # than step 1 — only the termination contract is asserted)
+    assert done[rid1].shape[0] <= 2 and done[rid1][-1] == first
+    assert rid2 in done                     # slot was reused
+
+    # cap=5 with seg_len=2: final segment keeps only 1 token
+    eng2 = _engine(max_batch=1, max_new=5, seg_len=2)
+    r = eng2.add_request(*_request(33))
+    out = _run_all(eng2)[r]
+    assert out.shape[0] == 5

@@ -12,7 +12,7 @@ from PIL import Image
 
 from opadpo_tpu.models import llava as llava_model
 from opadpo_tpu.models.llava import LlavaConfig
-from opadpo_tpu.serve import InferenceWorker, make_handler
+from opadpo_tpu.serve import ContinuousWorker, InferenceWorker, make_handler
 from tests.fake_tokenizer import FakeTokenizer
 
 CFG = LlavaConfig.tiny()
@@ -50,3 +50,23 @@ def test_worker_and_http_roundtrip():
         out = json.loads(r.read())
     assert "text" in out
     server.shutdown()
+
+
+def test_continuous_worker_concurrent_requests():
+    """--continuous mode: concurrent submits all complete, each with its
+    own latency (slot-pool admission instead of batch-sync generate)."""
+    worker = ContinuousWorker(PARAMS, CFG, FakeTokenizer(), max_batch=2,
+                              max_new_tokens=4, seg_len=2)
+    results = [None] * 3
+
+    def go(i):
+        results[i] = worker.submit({"prompt": f"q{i}",
+                                    "image_b64": _png_b64()})
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for r in results:
+        assert r is not None and "error" not in r and "text" in r, r
