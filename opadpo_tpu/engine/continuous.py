@@ -94,6 +94,7 @@ def fold_suffix_per_row(kv_list: list, suffix_list: list,
 class _Slot:
     request_id: int
     tokens: List[np.ndarray]            # per-segment kept tokens
+    budget: int                         # per-request max_new cap
     emitted: int = 0
     finished: bool = False
 
@@ -160,18 +161,23 @@ class ContinuousEngine:
 
     # -- request intake -------------------------------------------------
 
-    def add_request(self, input_ids, text_mask, image) -> int:
+    def add_request(self, input_ids, text_mask, image,
+                    max_new: Optional[int] = None) -> int:
         """Queue one request (1-D prompt ids/mask, one image).  The prompt
-        is left-padded/truncated to the engine's fixed ``qlen`` bucket."""
+        is left-padded/truncated to the engine's fixed ``qlen`` bucket;
+        ``max_new`` caps this request's generation (clipped to the
+        engine-wide ``sampling.max_new_tokens``, which sizes the cache)."""
         ids = np.asarray(input_ids)[-self.qlen:]
         msk = np.asarray(text_mask)[-self.qlen:]
         q = np.zeros((self.qlen,), ids.dtype)
         m = np.zeros((self.qlen,), msk.dtype)
         q[-len(ids):] = ids
         m[-len(msk):] = msk
+        budget = self.sampling.max_new_tokens if max_new is None else \
+            max(1, min(max_new, self.sampling.max_new_tokens))
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, q, m, np.asarray(image)))
+        self._queue.append((rid, q, m, np.asarray(image), budget))
         return rid
 
     def has_work(self) -> bool:
@@ -244,7 +250,7 @@ class ContinuousEngine:
             if self._slots[slot_idx] is not None \
                     and not self._slots[slot_idx].finished:
                 continue
-            rid, q, m, img = self._queue.pop(0)
+            rid, q, m, img, budget = self._queue.pop(0)
             pf = self._prefill_fn(self.params, self.lora,
                                   jnp.asarray(q)[None],
                                   jnp.asarray(m)[None],
@@ -257,7 +263,8 @@ class ContinuousEngine:
                 pf["key_mask"], pf["next_position"], pf["last_logits"],
                 jnp.int32(slot_idx))
             self._state = [kv, pm, pos, ll, row_len]
-            self._slots[slot_idx] = _Slot(request_id=rid, tokens=[])
+            self._slots[slot_idx] = _Slot(request_id=rid, tokens=[],
+                                          budget=budget)
 
     def step(self) -> List[Tuple[int, np.ndarray]]:
         """Admit pending requests, decode one segment, fold, and return
@@ -282,7 +289,6 @@ class ContinuousEngine:
                                  sub, done0, self.seg_len, su)
         out = np.asarray(out_c)
         eos = self.sampling.eos_token_id
-        cap = self.sampling.max_new_tokens
 
         finished: List[Tuple[int, np.ndarray]] = []
         n_valid = np.zeros((self.b,), np.int32)
@@ -292,11 +298,11 @@ class ContinuousEngine:
             row = out[i]
             hit = np.nonzero(row == eos)[0]
             raw = int(hit[0]) + 1 if hit.size else self.seg_len
-            keep = min(raw, cap - slot.emitted)
+            keep = min(raw, slot.budget - slot.emitted)
             n_valid[i] = keep
             slot.tokens.append(row[:keep])
             slot.emitted += keep
-            if hit.size and hit[0] < keep or slot.emitted >= cap:
+            if hit.size and hit[0] < keep or slot.emitted >= slot.budget:
                 slot.finished = True
                 toks = np.concatenate(slot.tokens) if slot.tokens \
                     else np.zeros((0,), np.int32)

@@ -184,7 +184,8 @@ class ContinuousWorker:
         img = (Image.open(io.BytesIO(base64.b64decode(img_b64)))
                if img_b64 else Image.new("RGB", (img_size, img_size)))
         pixels = clip_preprocess(img, size=img_size)
-        rid = self.engine.add_request(ids, np.ones_like(ids), pixels)
+        rid = self.engine.add_request(ids, np.ones_like(ids), pixels,
+                                      max_new=req.get("max_new_tokens"))
         self._pending[rid] = slot
         self._t0[rid] = time.time()
 

@@ -1,0 +1,137 @@
+"""Serving-throughput benchmark: continuous (slot-pool) batching vs
+batch-synchronous generate on mixed-length requests, 7B shapes, one chip.
+
+The reference serves nothing (HF ``generate`` inside offline scripts);
+this measures the scheduling win the continuous engine adds: with
+response lengths drawn from a mixed distribution, batch-sync decode pays
+the batch max every round while the slot pool refills as requests finish.
+
+    python scripts/bench_serve.py [--bits 4] [--slots 8] [--requests 32]
+        [--seg-len 64] [--max-new 512] [--mode both|continuous|batch]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bits", type=int, default=4, choices=(16, 8, 4))
+    p.add_argument("--head-bits", type=int, default=4, choices=(16, 8, 4))
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--requests", type=int, default=32)
+    p.add_argument("--seg-len", type=int, default=64)
+    p.add_argument("--max-new", type=int, default=512)
+    p.add_argument("--query-len", type=int, default=128)
+    p.add_argument("--mode", default="both",
+                   choices=("both", "continuous", "batch"))
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
+    from opadpo_tpu.engine.continuous import ContinuousEngine
+    from opadpo_tpu.engine.sampler import Sampler
+    from opadpo_tpu.engine.sampling import SamplingConfig
+    from opadpo_tpu.models import llama as llama_model
+    from opadpo_tpu.models import llava as llava_model
+    from opadpo_tpu.ops import quant
+
+    cfg = llava_model.LlavaConfig.llava_7b()
+
+    def build():
+        params = llava_model.init_params(jax.random.PRNGKey(0), cfg)
+        if args.bits in (4, 8):
+            params = quant.quantize_params(params, bits=args.bits)
+        llama = llama_model.fuse_for_inference(params["llama"])
+        llama = llama_model.quantize_head_for_decode(llama, args.head_bits)
+        return {**params, "llama": llama_model.unstack_layers(llama)}
+
+    shapes = jax.eval_shape(build)
+    params = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
+    print(f"params ready (bits={args.bits})", flush=True)
+
+    rng = np.random.default_rng(args.seed)
+    # mixed response lengths: short-heavy, like real chat/VQA traffic
+    budgets = rng.choice(
+        [32, 64, 128, 256, args.max_new], size=args.requests,
+        p=[0.25, 0.25, 0.2, 0.15, 0.15]).astype(int)
+    print("budgets:", np.sort(budgets)[::-1][:12], "...", flush=True)
+    reqs = []
+    for i in range(args.requests):
+        q = rng.integers(5, 32000, (args.query_len,)).astype(np.int32)
+        q[1] = IMAGE_TOKEN_INDEX
+        reqs.append((q, np.ones_like(q),
+                     np.zeros((336, 336, 3), np.float32), int(budgets[i])))
+
+    total_tokens = int(budgets.sum())
+    sampling = SamplingConfig(max_new_tokens=args.max_new, temperature=1.0,
+                              top_k=30, top_p=0.95, eos_token_id=-1,
+                              pad_token_id=0)
+
+    if args.mode in ("both", "continuous"):
+        eng = ContinuousEngine(cfg, sampling, params,
+                               max_batch=args.slots, qlen=args.query_len,
+                               seg_len=args.seg_len)
+        for q, m, im, budget in reqs:
+            eng.add_request(q, m, im, max_new=budget)
+        # warm the compiles on the first segments, then time from here
+        t0 = time.perf_counter()
+        n_done = 0
+        while eng.has_work():
+            n_done += len(eng.step())
+        dt = time.perf_counter() - t0
+        print(f"continuous: {args.requests} reqs ({total_tokens} tok) in "
+              f"{dt:.1f}s = {total_tokens/dt:.0f} tok/s "
+              f"(slots={args.slots}, seg={args.seg_len})", flush=True)
+
+    if args.mode in ("both", "batch"):
+        # batch-synchronous: fill a batch, run ALL of it to the batch max
+        # budget (HF-generate semantics with early-exit on all-EOS; with
+        # eos=-1 synthetic rollouts, that is the max budget in the batch)
+        s = Sampler(cfg, sampling, kv_bits=8, head_bits=args.head_bits,
+                    chunk=256)
+        params_d, _ = s.prepare_params(params)
+        t0 = time.perf_counter()
+        done = 0
+        for i in range(0, args.requests, args.slots):
+            chunk = reqs[i:i + args.slots]
+            while len(chunk) < args.slots:
+                chunk.append(chunk[-1])
+            q = jnp.asarray(np.stack([c[0] for c in chunk]))
+            m = jnp.asarray(np.stack([c[1] for c in chunk]))
+            im = jnp.asarray(np.stack([c[2] for c in chunk]),
+                             jnp.bfloat16)
+            cap = max(c[3] for c in chunk[:len(reqs[i:i + args.slots])])
+            s_cap = Sampler(
+                cfg, SamplingConfig(
+                    max_new_tokens=-(-cap // 128) * 128,
+                    temperature=1.0, top_k=30, top_p=0.95,
+                    eos_token_id=-1, pad_token_id=0),
+                kv_bits=8, head_bits=args.head_bits, chunk=256)
+            out = s_cap.generate(params_d, q, m, im, jax.random.PRNGKey(i))
+            _ = np.asarray(out)
+            done += len(reqs[i:i + args.slots])
+        dt = time.perf_counter() - t0
+        print(f"batch-sync: {args.requests} reqs ({total_tokens} tok) in "
+              f"{dt:.1f}s = {total_tokens/dt:.0f} tok/s "
+              f"(batch={args.slots})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -145,3 +145,19 @@ def test_eos_frees_slot_and_budget_cap():
     r = eng2.add_request(*_request(33))
     out = _run_all(eng2)[r]
     assert out.shape[0] == 5
+
+
+def test_per_request_budgets():
+    """Mixed per-request max_new caps in one pool: each request stops at
+    its own budget and its tokens prefix-match the uncapped solo run."""
+    reqs = [_request(41), _request(42)]
+    eng = _engine(max_batch=2, max_new=6, seg_len=2)
+    rid_a = eng.add_request(*reqs[0], max_new=3)
+    rid_b = eng.add_request(*reqs[1])            # full cap 6
+    done = _run_all(eng)
+    assert done[rid_a].shape[0] == 3
+    assert done[rid_b].shape[0] == 6
+
+    solo = _engine(max_batch=1, max_new=6, seg_len=2)
+    sr = solo.add_request(*reqs[0])
+    np.testing.assert_array_equal(done[rid_a], _run_all(solo)[sr][:3])
