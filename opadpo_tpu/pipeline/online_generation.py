@@ -192,6 +192,21 @@ def run(cfg: Config) -> None:
     # frees (7B int8: 7 GB; holding both layouts would OOM the chip)
     params, lora = sampler.prepare_params(params, lora)
 
+    # continuous_slots: N > 0 routes generation through the slot-pool
+    # engine — rows that EOS early free their slot for the next query,
+    # so a batch costs ~sum-of-lengths/slots instead of the batch max.
+    # Designed for the per-rank single-chip rollout topology (the
+    # multi-rank fan-out above shards ROWS, not the mesh).
+    engine = None
+    slots = int(t.get("continuous_slots", 0))
+    if slots:
+        from opadpo_tpu.engine.continuous import ContinuousEngine
+        engine = ContinuousEngine(
+            llava_cfg, sampling, params, lora=lora,
+            lora_scaling=lora_scaling, max_batch=slots, qlen=query_len,
+            seg_len=int(t.get("continuous_seg_len", 64)),
+            rng=jax.random.PRNGKey(int(t.get("seed", 42)) + 1000 + rank))
+
     pool = concurrent.futures.ThreadPoolExecutor(
         max_workers=int(os.environ.get("API_WORKERS", "8")))
     pending = None       # (step_idx, futures, records)
@@ -215,12 +230,26 @@ def run(cfg: Config) -> None:
             continue
         t0 = time.time()
         rng, sub = jax.random.split(rng)
-        dev = device_put_batch(
-            {k: batch[k] for k in ("queries", "query_attn_masks", "images")},
-            mesh)
-        tokens = np.asarray(sampler.generate(
-            params, dev["queries"], dev["query_attn_masks"], dev["images"],
-            sub, lora=lora))
+        if engine is not None:
+            n = batch["queries"].shape[0]
+            rids = [engine.add_request(np.asarray(batch["queries"][i]),
+                                       np.asarray(batch["query_attn_masks"][i]),
+                                       np.asarray(batch["images"][i]))
+                    for i in range(n)]
+            order = {rid: i for i, rid in enumerate(rids)}
+            tokens = np.full((n, response_len),
+                             tokenizer.pad_token_id, np.int32)
+            while engine.has_work():
+                for rid, toks in engine.step():
+                    tokens[order[rid], :len(toks)] = toks[:response_len]
+        else:
+            dev = device_put_batch(
+                {k: batch[k]
+                 for k in ("queries", "query_attn_masks", "images")},
+                mesh)
+            tokens = np.asarray(sampler.generate(
+                params, dev["queries"], dev["query_attn_masks"],
+                dev["images"], sub, lora=lora))
         tokens = truncate_after_tokens(
             tokens, tokenizer.eos_token_id, tokenizer.pad_token_id,
             additional_tokens=(LLAMA_QMARK_TOKEN, LLAMA_NL_QMARK_TOKEN))

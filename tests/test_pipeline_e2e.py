@@ -249,3 +249,28 @@ def test_multi_rank_rollout(tmp_path, monkeypatch):
     assert ck.find_max_step(rollout_dir, rank=1) == 1
     assert ck.find_max_step(rollout_dir, rank=0) == 0
     assert ck.find_max_step(rollout_dir) == 1
+
+
+def test_rollout_continuous_slots(tmp_path):
+    """training.continuous_slots routes rollout generation through the
+    slot-pool engine: 8 queries through 2 slots (4 admissions per slot)
+    produce the same shard schema and row coverage as batch generate."""
+    from opadpo_tpu.pipeline import online_generation
+
+    prompts = str(tmp_path / "prompts")
+    _tiny_prompt_dataset(prompts, n=8)
+    gen_out = str(tmp_path / "gen")
+    cfg = _base_cfg(gen_out, prompts, response_len=8, query_len=64,
+                    rollout_per_device_batch_size=1, top_k=4, top_p=0.9,
+                    continuous_slots=2, continuous_seg_len=4)
+    online_generation.run(cfg)
+
+    rollout_dir = os.path.join(gen_out, "rollouts")
+    shards = sorted(os.listdir(rollout_dir))
+    assert shards == ["step1_rank0.json"]
+    with open(os.path.join(rollout_dir, shards[0])) as f:
+        recs = json.load(f)
+    assert {r["image_id"] for r in recs} == {f"img{i}.png"
+                                             for i in range(8)}
+    for r in recs:
+        assert isinstance(r["original_generate_response"], str)
