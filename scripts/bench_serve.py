@@ -85,17 +85,22 @@ def main():
                               pad_token_id=0)
 
     if args.mode in ("both", "continuous"):
-        eng = ContinuousEngine(cfg, sampling, params,
-                               max_batch=args.slots, qlen=args.query_len,
-                               seg_len=args.seg_len)
-        for q, m, im, budget in reqs:
-            eng.add_request(q, m, im, max_new=budget)
-        # warm the compiles on the first segments, then time from here
-        t0 = time.perf_counter()
-        n_done = 0
-        while eng.has_work():
-            n_done += len(eng.step())
-        dt = time.perf_counter() - t0
+        def run_continuous():
+            eng = ContinuousEngine(cfg, sampling, params,
+                                   max_batch=args.slots,
+                                   qlen=args.query_len,
+                                   seg_len=args.seg_len)
+            for q, m, im, budget in reqs:
+                eng.add_request(q, m, im, max_new=budget)
+            t0 = time.perf_counter()
+            n_done = 0
+            while eng.has_work():
+                n_done += len(eng.step())
+            assert n_done == args.requests, n_done
+            return time.perf_counter() - t0
+
+        run_continuous()        # compile warmup (prefill/seg/fold/admit)
+        dt = run_continuous()
         print(f"continuous: {args.requests} reqs ({total_tokens} tok) in "
               f"{dt:.1f}s = {total_tokens/dt:.0f} tok/s "
               f"(slots={args.slots}, seg={args.seg_len})", flush=True)
@@ -107,27 +112,34 @@ def main():
         s = Sampler(cfg, sampling, kv_bits=8, head_bits=args.head_bits,
                     chunk=256)
         params_d, _ = s.prepare_params(params)
-        t0 = time.perf_counter()
-        done = 0
-        for i in range(0, args.requests, args.slots):
-            chunk = reqs[i:i + args.slots]
-            while len(chunk) < args.slots:
-                chunk.append(chunk[-1])
-            q = jnp.asarray(np.stack([c[0] for c in chunk]))
-            m = jnp.asarray(np.stack([c[1] for c in chunk]))
-            im = jnp.asarray(np.stack([c[2] for c in chunk]),
-                             jnp.bfloat16)
-            cap = max(c[3] for c in chunk[:len(reqs[i:i + args.slots])])
-            s_cap = Sampler(
-                cfg, SamplingConfig(
-                    max_new_tokens=-(-cap // 128) * 128,
-                    temperature=1.0, top_k=30, top_p=0.95,
-                    eos_token_id=-1, pad_token_id=0),
-                kv_bits=8, head_bits=args.head_bits, chunk=256)
-            out = s_cap.generate(params_d, q, m, im, jax.random.PRNGKey(i))
-            _ = np.asarray(out)
-            done += len(reqs[i:i + args.slots])
-        dt = time.perf_counter() - t0
+        samplers = {}
+
+        def run_batch():
+            t0 = time.perf_counter()
+            for i in range(0, args.requests, args.slots):
+                chunk = reqs[i:i + args.slots]
+                n_real = len(chunk)
+                while len(chunk) < args.slots:
+                    chunk.append(chunk[-1])
+                q = jnp.asarray(np.stack([c[0] for c in chunk]))
+                m = jnp.asarray(np.stack([c[1] for c in chunk]))
+                im = jnp.asarray(np.stack([c[2] for c in chunk]),
+                                 jnp.bfloat16)
+                cap = -(-max(c[3] for c in chunk[:n_real]) // 128) * 128
+                if cap not in samplers:
+                    samplers[cap] = Sampler(
+                        cfg, SamplingConfig(
+                            max_new_tokens=cap, temperature=1.0,
+                            top_k=30, top_p=0.95, eos_token_id=-1,
+                            pad_token_id=0),
+                        kv_bits=8, head_bits=args.head_bits, chunk=256)
+                out = samplers[cap].generate(params_d, q, m, im,
+                                             jax.random.PRNGKey(i))
+                _ = np.asarray(out)
+            return time.perf_counter() - t0
+
+        run_batch()             # compile warmup per cap bucket
+        dt = run_batch()
         print(f"batch-sync: {args.requests} reqs ({total_tokens} tok) in "
               f"{dt:.1f}s = {total_tokens/dt:.0f} tok/s "
               f"(batch={args.slots})", flush=True)
