@@ -34,7 +34,7 @@ what makes slot reuse a pure bookkeeping exercise on top.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
