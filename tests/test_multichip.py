@@ -399,3 +399,60 @@ def test_dpo_step_data_parallel_on_quantized_base():
         _, stats2 = dpo_train_step(state2, qparams, full_batch, tx, CFG, DPO)
         np.testing.assert_allclose(float(stats["loss/total"]),
                                    float(stats2["loss/total"]), rtol=1e-4)
+
+
+def test_tensor_parallel_continuous_engine_matches_singlechip():
+    """Continuous (slot-pool) batching under the 4x2 TP mesh: admission
+    DUS, the per-row gather fold, and the shard_map'd decode kernel all
+    compose under GSPMD — tokens match the unsharded engine exactly
+    (13B TP serving runs this path)."""
+    import dataclasses
+
+    from opadpo_tpu.engine.continuous import ContinuousEngine
+    from opadpo_tpu.engine.sampler import Sampler
+    from opadpo_tpu.engine.sampling import SamplingConfig
+    from opadpo_tpu.ops import attention as attn
+
+    cfg32 = LlavaConfig(
+        llama=dataclasses.replace(CFG.llama, dtype=jnp.float32),
+        vision=dataclasses.replace(CFG.vision, dtype=jnp.float32),
+        projector=dataclasses.replace(CFG.projector, dtype=jnp.float32))
+    params = llava_model.init_params(jax.random.PRNGKey(0), cfg32)
+    sampling = SamplingConfig(greedy=True, max_new_tokens=4,
+                              eos_token_id=-1, pad_token_id=0)
+    qlen = 10
+
+    def request(seed):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        ids = np.array(jax.random.randint(k1, (qlen,), 5,
+                                          cfg32.llama.vocab_size))
+        ids[2] = IMAGE_TOKEN_INDEX
+        sz = cfg32.vision.image_size
+        img = np.asarray(jax.random.normal(k2, (sz, sz, 3)), np.float32)
+        return ids, np.ones((qlen,), np.int32), img
+
+    def run(prepped):
+        eng = ContinuousEngine(cfg32, sampling, prepped, max_batch=2,
+                               qlen=qlen, seg_len=2)
+        rids = [eng.add_request(*request(s)) for s in (51, 52, 53)]
+        done = {}
+        while eng.has_work():
+            for rid, toks in eng.step():
+                done[rid] = toks
+        return [done[r] for r in rids]
+
+    prepped, _ = Sampler(cfg32, sampling, kv_bits=8).prepare_params(params)
+    ref = run(prepped)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    params_tp = shard_pytree(params, param_partition_specs(params, mesh),
+                             mesh)
+    attn.set_tp_mesh(mesh)
+    try:
+        prepped_tp, _ = Sampler(cfg32, sampling,
+                                kv_bits=8).prepare_params(params_tp)
+        out = run(prepped_tp)
+    finally:
+        attn.set_tp_mesh(None)
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(o, r)
