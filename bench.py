@@ -417,6 +417,23 @@ def _run_hot_loop_subprocess(name: str) -> dict:
     return {"error": (proc.stderr or "no output")[-200:]}
 
 
+def _probe_device(timeout_s: int = 240) -> bool:
+    """A device-side OOM can wedge the axon TPU service for an hour
+    (observed twice) and a wedged service HANGS rather than erroring —
+    which would stall this whole bench.  Probe with a tiny transfer in a
+    subprocess so a wedged service fails fast and visibly."""
+    import subprocess
+    code = ("import numpy as np, jax\n"
+            "x = jax.device_put(np.ones((8, 8), np.float32))\n"
+            "assert float(np.asarray(x).sum()) == 64.0\n")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import argparse
     ap = argparse.ArgumentParser()
@@ -426,6 +443,14 @@ def main():
     args = ap.parse_args()
     if args.only:
         print(json.dumps(_HOT_LOOPS[args.only]()))
+        return
+
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "llava7b_dpo_score_tokens_per_sec", "value": 0.0,
+            "unit": "tokens/s", "vs_baseline": 0.0,
+            "error": "TPU service unreachable (device probe timed out — "
+                     "likely wedged after a device OOM; retry in ~1h)"}))
         return
 
     try:
