@@ -179,6 +179,10 @@ def main():
     p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8))
     p.add_argument("--head-bits", type=int, default=16, choices=(16, 8, 4))
     p.add_argument("--decode-chunk", type=int, default=0)
+    p.add_argument("--visual-tokens", type=int, default=0,
+                   help="training-free visual-token pruning: keep only "
+                        "the top-K projected patches (0 = all 576, "
+                        "reference numerics)")
     args = p.parse_args()
 
     from opadpo_tpu.models.loader import load_peft_adapter
@@ -187,7 +191,8 @@ def main():
     )
 
     cfg, params, _ = setup_model(args.model_path,
-                                 vision_dir=args.vision_path)
+                                 vision_dir=args.vision_path,
+                                 visual_tokens=args.visual_tokens or None)
     tokenizer = load_tokenizer(args.model_path)
     lora, scaling = None, 1.0
     if args.adapter_path:

@@ -40,6 +40,15 @@ class LlavaConfig:
     llama: llama_model.LlamaConfig
     vision: clip_model.ClipVisionConfig
     projector: projector_model.ProjectorConfig
+    # Training-free visual-token pruning (inference accelerator): keep
+    # only the top-K projected patch tokens by feature norm, shrinking
+    # every downstream sequence (prompt cache, scoring length) by
+    # 576-K.  None/576 = off (reference numerics).  Motivated by the
+    # freePruner / attention-aware token-filtering line of work
+    # (arxiv 2411.15446, 2506.01519); norm-based selection is the
+    # attention-free proxy available without materializing CLIP
+    # attention probabilities (the flash path never forms them).
+    visual_tokens: Optional[int] = None
 
     @staticmethod
     def llava_7b() -> "LlavaConfig":
@@ -65,6 +74,11 @@ class LlavaConfig:
 
     @property
     def num_patches(self) -> int:
+        """Patch tokens actually spliced into the sequence — everything
+        downstream (splice, cache sizes, samplers, engines) keys off
+        this, so ``visual_tokens`` shrinks the whole pipeline."""
+        if self.visual_tokens:
+            return min(self.visual_tokens, self.vision.num_patches)
         return self.vision.num_patches
 
 
@@ -110,14 +124,28 @@ def encode_images(params: dict, cfg: LlavaConfig, images: jax.Array,
                   lora: Optional[dict] = None, lora_scaling: float = 1.0,
                   image_key_mask: Optional[jax.Array] = None,
                   attn_impl: str = "auto") -> jax.Array:
-    """[B, H, W, 3] → projected patch features [B, 576, hidden]."""
+    """[B, H, W, 3] → projected patch features [B, num_patches, hidden].
+
+    With ``cfg.visual_tokens`` set, keeps only the top-K patches by
+    projected-feature L2 norm (sorted back to spatial order) — see the
+    LlavaConfig field comment.  Incompatible with CoPO's per-patch
+    ``image_key_mask`` (mask indices refer to the full patch grid)."""
     feats = clip_model.forward(
         params["vision"], cfg.vision, images,
         lora=tree_get(lora, "vision"), lora_scaling=lora_scaling,
         image_key_mask=image_key_mask, attn_impl=attn_impl)
-    return projector_model.forward(
+    proj = projector_model.forward(
         params["projector"], feats,
         lora=tree_get(lora, "projector"), lora_scaling=lora_scaling)
+    k = cfg.num_patches
+    if k < proj.shape[1]:
+        assert image_key_mask is None, \
+            "visual_tokens pruning does not compose with image_key_mask"
+        score = jnp.sum(jnp.square(proj.astype(jnp.float32)), axis=-1)
+        _, idx = jax.lax.top_k(score, k)                  # [B, K]
+        idx = jnp.sort(idx, axis=1)                       # spatial order
+        proj = jnp.take_along_axis(proj, idx[:, :, None], axis=1)
+    return proj
 
 
 def splice_positions(input_ids: jax.Array) -> jax.Array:

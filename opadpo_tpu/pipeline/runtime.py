@@ -92,6 +92,7 @@ def setup_model(
     act_outlier_cols: int = 0,
     act_bwd_int8: bool = False,
     fused_attention: bool = True,
+    visual_tokens: Optional[int] = None,
 ) -> Tuple[LlavaConfig, dict, "jax.sharding.Mesh"]:
     """(cfg, params, mesh).  ``skip_loading_weights`` builds a random-init
     model from config only — the reference's debug hook
@@ -122,6 +123,11 @@ def setup_model(
     else:
         cfg = llava_config_from_hf(model_dir)
         params = load_llava_checkpoint(model_dir, cfg, vision_dir=vision_dir)
+    if visual_tokens:
+        # training-free visual-token pruning (inference accelerator):
+        # params are unchanged — only cfg.num_patches shrinks
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, visual_tokens=int(visual_tokens))
 
     if bits in (4, 8):
         # QLoRA configuration: frozen int8/int4 base + bf16 adapters

@@ -276,6 +276,9 @@ def main():
     p.add_argument("--seg-len", type=int, default=64,
                    help="continuous mode: decode steps per scheduling "
                         "segment (admission latency quantum)")
+    p.add_argument("--visual-tokens", type=int, default=0,
+                   help="training-free visual-token pruning: keep only "
+                        "the top-K projected patches (0 = all 576)")
     args = p.parse_args()
 
     from opadpo_tpu.models.loader import load_peft_adapter
@@ -283,7 +286,8 @@ def main():
 
     cfg, params, _ = setup_model(args.model_path,
                                  vision_dir=args.vision_path,
-                                 bits=args.bits)
+                                 bits=args.bits,
+                                 visual_tokens=args.visual_tokens or None)
     tokenizer = load_tokenizer(args.model_path)
     lora, scaling = None, 1.0
     if args.adapter_path:
