@@ -445,12 +445,18 @@ def main():
         print(json.dumps(_HOT_LOOPS[args.only]()))
         return
 
+    last_good_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_last_good.json")
     if not _probe_device():
-        print(json.dumps({
+        record = {
             "metric": "llava7b_dpo_score_tokens_per_sec", "value": 0.0,
             "unit": "tokens/s", "vs_baseline": 0.0,
             "error": "TPU service unreachable (device probe timed out — "
-                     "likely wedged after a device OOM; retry in ~1h)"}))
+                     "likely wedged after a device OOM; retry in ~1h)"}
+        if os.path.exists(last_good_path):
+            with open(last_good_path) as f:
+                record["last_good"] = json.load(f)
+        print(json.dumps(record))
         return
 
     try:
@@ -506,6 +512,13 @@ def main():
                 }
         except Exception as e:
             print(f"quality annotation failed: {e}", file=sys.stderr)
+
+    try:   # preserved verbatim for the unreachable-device record above
+        with open(last_good_path, "w") as f:
+            json.dump({"measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                       "result": result}, f)
+    except OSError as e:
+        print(f"last-good record not written: {e}", file=sys.stderr)
 
     print(json.dumps(result))
 
