@@ -158,10 +158,15 @@ class ContinuousWorker:
         prep = Sampler(cfg, self.sampling, lora_scaling=lora_scaling,
                        kv_bits=8, head_bits=head_bits)
         params, lora = prep.prepare_params(params, lora)
-        self.engine = ContinuousEngine(
-            cfg, self.sampling, params, lora=lora,
-            lora_scaling=lora_scaling, max_batch=max_batch,
-            seg_len=seg_len)
+
+        def mk_engine():
+            return ContinuousEngine(
+                cfg, self.sampling, params, lora=lora,
+                lora_scaling=lora_scaling, max_batch=max_batch,
+                seg_len=seg_len)
+
+        self._mk_engine = mk_engine
+        self.engine = mk_engine()
         self.queue: "queue.Queue" = queue.Queue()
         self._pending: Dict[int, Dict] = {}
         self._t0: Dict[int, float] = {}
@@ -218,6 +223,10 @@ class ContinuousWorker:
                     slot["response"] = {"error": str(e)}
                     slot["done"].set()
                 self._pending.clear()
+                self._t0.clear()
+                # the pool state may be mid-update — rebuild so the
+                # worker keeps serving subsequent requests
+                self.engine = self._mk_engine()
 
 
 def make_handler(worker: InferenceWorker):
