@@ -453,10 +453,12 @@ def main():
             "unit": "tokens/s", "vs_baseline": 0.0,
             "error": "TPU service unreachable (device probe timed out — "
                      "likely wedged after a device OOM; retry in ~1h)"}
-        if os.path.exists(last_good_path):
+        try:
             with open(last_good_path) as f:
                 record["last_good"] = json.load(f)
-        print(json.dumps(record))
+        except (OSError, json.JSONDecodeError):
+            pass        # missing or corrupt record must not kill the
+        print(json.dumps(record))   # diagnostic line it exists to serve
         return
 
     try:
@@ -513,12 +515,21 @@ def main():
         except Exception as e:
             print(f"quality annotation failed: {e}", file=sys.stderr)
 
-    try:   # preserved verbatim for the unreachable-device record above
-        with open(last_good_path, "w") as f:
-            json.dump({"measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-                       "result": result}, f)
-    except OSError as e:
-        print(f"last-good record not written: {e}", file=sys.stderr)
+    # preserved verbatim for the unreachable-device record above — only
+    # when FULLY good (a mid-bench wedge would otherwise clobber the
+    # genuine record with one whose hot loops are all errors), and
+    # written atomically (a truncated file would corrupt the fallback)
+    degraded = any("error" in v for v in hot_loops.values())
+    if not degraded:
+        try:
+            tmp = last_good_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"measured_at":
+                           time.strftime("%Y-%m-%dT%H:%M:%S"),
+                           "result": result}, f)
+            os.replace(tmp, last_good_path)
+        except OSError as e:
+            print(f"last-good record not written: {e}", file=sys.stderr)
 
     print(json.dumps(result))
 

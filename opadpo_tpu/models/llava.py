@@ -130,6 +130,14 @@ def encode_images(params: dict, cfg: LlavaConfig, images: jax.Array,
     projected-feature L2 norm (sorted back to spatial order) — see the
     LlavaConfig field comment.  Incompatible with CoPO's per-patch
     ``image_key_mask`` (mask indices refer to the full patch grid)."""
+    k = cfg.num_patches
+    if k < cfg.vision.num_patches and image_key_mask is not None:
+        # must be checked BEFORE clip.forward consumes the mask: a CoPO
+        # mask is sized [B, cfg.num_patches] = [B, K] and would fail with
+        # an opaque shape error against the full patch grid inside CLIP
+        raise ValueError(
+            "visual_tokens pruning does not compose with image_key_mask "
+            "(CoPO attention masking indexes the full patch grid)")
     feats = clip_model.forward(
         params["vision"], cfg.vision, images,
         lora=tree_get(lora, "vision"), lora_scaling=lora_scaling,
@@ -137,10 +145,7 @@ def encode_images(params: dict, cfg: LlavaConfig, images: jax.Array,
     proj = projector_model.forward(
         params["projector"], feats,
         lora=tree_get(lora, "projector"), lora_scaling=lora_scaling)
-    k = cfg.num_patches
     if k < proj.shape[1]:
-        assert image_key_mask is None, \
-            "visual_tokens pruning does not compose with image_key_mask"
         score = jnp.sum(jnp.square(proj.astype(jnp.float32)), axis=-1)
         _, idx = jax.lax.top_k(score, k)                  # [B, K]
         idx = jnp.sort(idx, axis=1)                       # spatial order

@@ -126,8 +126,10 @@ def setup_model(
     if visual_tokens:
         # training-free visual-token pruning (inference accelerator):
         # params are unchanged — only cfg.num_patches shrinks
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, visual_tokens=int(visual_tokens))
+        if int(visual_tokens) < 1:
+            raise ValueError(f"visual_tokens must be >= 1, "
+                             f"got {visual_tokens}")
+        cfg = dataclasses.replace(cfg, visual_tokens=int(visual_tokens))
 
     if bits in (4, 8):
         # QLoRA configuration: frozen int8/int4 base + bf16 adapters

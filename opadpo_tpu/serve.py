@@ -207,7 +207,10 @@ class ContinuousWorker:
                     break
             try:
                 for rid, toks in self.engine.step():
-                    slot = self._pending.pop(rid)
+                    # pop only after the response is fully set: a decode
+                    # failure between pop and done.set() would otherwise
+                    # orphan the slot (its HTTP thread waits forever)
+                    slot = self._pending[rid]
                     toks = truncate_after_tokens(
                         toks[None], self.tokenizer.eos_token_id,
                         self.tokenizer.pad_token_id)
@@ -218,6 +221,7 @@ class ContinuousWorker:
                         "latency_s": round(time.time()
                                            - self._t0.pop(rid), 3)}
                     slot["done"].set()
+                    del self._pending[rid]
             except Exception as e:
                 for rid, slot in list(self._pending.items()):
                     slot["response"] = {"error": str(e)}

@@ -85,11 +85,15 @@ def main():
                               pad_token_id=0)
 
     if args.mode in ("both", "continuous"):
+        # ONE engine across warmup and timed pass: the jit wrappers are
+        # per-instance, so a fresh engine would re-trace inside the timed
+        # region (the drained pool is reusable — admission overwrites)
+        eng = ContinuousEngine(cfg, sampling, params,
+                               max_batch=args.slots,
+                               qlen=args.query_len,
+                               seg_len=args.seg_len)
+
         def run_continuous():
-            eng = ContinuousEngine(cfg, sampling, params,
-                                   max_batch=args.slots,
-                                   qlen=args.query_len,
-                                   seg_len=args.seg_len)
             for q, m, im, budget in reqs:
                 eng.add_request(q, m, im, max_new=budget)
             t0 = time.perf_counter()
