@@ -57,6 +57,17 @@ def test_num_patches_drives_downstream_shapes():
                                   np.asarray(ref["logits"]))
 
 
+def test_pruning_rejects_image_key_mask():
+    """CoPO's per-patch mask indexes the full grid — pruning must refuse
+    it with a clear error, before CLIP sees a mismatched mask."""
+    import pytest
+    _, _, images = _inputs()
+    mask = jnp.ones((images.shape[0], PRUNED.num_patches), jnp.int32)
+    with pytest.raises(ValueError, match="does not compose"):
+        llava_model.encode_images(PARAMS, PRUNED, images,
+                                  image_key_mask=mask)
+
+
 def test_pruned_sampler_matches_pruned_full_forward():
     """Prefill/decode under the pruned cfg stays internally consistent:
     greedy Sampler tokens equal the naive rerun-the-forward loop."""
