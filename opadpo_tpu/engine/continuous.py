@@ -13,9 +13,12 @@ under XLA's static-shape rules:
   ``S_total = prompt_cap + max_new`` plus a small bf16 suffix carried
   through each segment's ``lax.while_loop``.  Admission and folds are
   same-shape donated updates — nothing reallocates, ever.
-- ADMISSION: a new request is prefilled alone (B=1, fixed prompt bucket →
-  one compile) and written into its slot row with
-  ``jax.lax.dynamic_update_slice`` under buffer donation.
+- ADMISSION: waiting requests are prefilled together in small batch
+  buckets (B ∈ {1, 2, 4}, fixed prompt length → a handful of compiles)
+  and written into their slot rows with ``jax.lax.dynamic_update_slice``
+  under buffer donation — one prefill + one admit dispatch per GROUP, not
+  per request (the ~37 ms tunnel dispatch latency made per-request
+  admission a large fraction of serving time under short-request mixes).
 - SEGMENT: ``decode_loop_unrolled`` runs ``seg_len`` steps for the whole
   pool; finished/free rows ride along masked by ``done`` (they emit pads
   and their logits are ignored).  One compiled program for every segment
@@ -210,61 +213,78 @@ class ContinuousEngine:
         return [kv, pm, pos, ll, row_len]
 
     def _admit_impl(self, kv, pm, pos, ll, row_len,
-                    row_kv, row_mask, row_pos, row_ll, slot):
-        """Write one prefilled row into slot ``slot`` (traced scalar →
-        one compiled program for every admission)."""
-        new_kv = []
-        for (pk, pv), (rk, rv) in zip(kv, row_kv):
-            row = []
-            for pc, rc in ((pk, rk), (pv, rv)):
-                sp = rc["q"].shape[2]
-                q = jax.lax.dynamic_update_slice(
-                    pc["q"],
-                    jnp.zeros_like(pc["q"][:1]).at[:, :, :sp].set(
-                        rc["q"].astype(pc["q"].dtype)),
-                    (slot, 0, 0, 0))
-                sc = jax.lax.dynamic_update_slice(
-                    pc["scale"],
-                    jnp.zeros_like(pc["scale"][:1]).at[:, :, :sp].set(
-                        rc["scale"].astype(pc["scale"].dtype)),
-                    (slot, 0, 0))
-                row.append({"q": q, "scale": sc})
-            new_kv.append(tuple(row))
-        mrow = jnp.zeros_like(pm[:1]).at[:, :row_mask.shape[1]].set(
-            row_mask.astype(pm.dtype))
-        pm = jax.lax.dynamic_update_slice(pm, mrow, (slot, 0))
-        pos = jax.lax.dynamic_update_slice(
-            pos, row_pos.astype(pos.dtype), (slot,))
-        ll = jax.lax.dynamic_update_slice(
-            ll, row_ll.astype(ll.dtype), (slot, 0))
-        row_len = jax.lax.dynamic_update_slice(
-            row_len, jnp.full((1,), self.sp_splice, row_len.dtype), (slot,))
-        return tuple(new_kv), pm, pos, ll, row_len
+                    row_kv, row_mask, row_pos, row_ll, slots):
+        """Write ``k`` prefilled rows into slots ``slots`` ([k] traced
+        vector; k is baked by shape → one compiled program per admission
+        GROUP SIZE, shared by every admission at that size)."""
+        k = row_mask.shape[0]
+        for i in range(k):
+            slot = slots[i]
+            new_kv = []
+            for (pk, pv), (rk, rv) in zip(kv, row_kv):
+                row = []
+                for pc, rc in ((pk, rk), (pv, rv)):
+                    sp = rc["q"].shape[2]
+                    q = jax.lax.dynamic_update_slice(
+                        pc["q"],
+                        jnp.zeros_like(pc["q"][:1]).at[:, :, :sp].set(
+                            rc["q"][i:i + 1].astype(pc["q"].dtype)),
+                        (slot, 0, 0, 0))
+                    sc = jax.lax.dynamic_update_slice(
+                        pc["scale"],
+                        jnp.zeros_like(pc["scale"][:1]).at[:, :, :sp].set(
+                            rc["scale"][i:i + 1].astype(pc["scale"].dtype)),
+                        (slot, 0, 0))
+                    row.append({"q": q, "scale": sc})
+                new_kv.append(tuple(row))
+            kv = tuple(new_kv)
+            mrow = jnp.zeros_like(pm[:1]).at[:, :row_mask.shape[1]].set(
+                row_mask[i:i + 1].astype(pm.dtype))
+            pm = jax.lax.dynamic_update_slice(pm, mrow, (slot, 0))
+            pos = jax.lax.dynamic_update_slice(
+                pos, row_pos[i:i + 1].astype(pos.dtype), (slot,))
+            ll = jax.lax.dynamic_update_slice(
+                ll, row_ll[i:i + 1].astype(ll.dtype), (slot, 0))
+            row_len = jax.lax.dynamic_update_slice(
+                row_len, jnp.full((1,), self.sp_splice, row_len.dtype),
+                (slot,))
+        return kv, pm, pos, ll, row_len
 
     # -- scheduling -----------------------------------------------------
 
     def _admit_pending(self):
-        for slot_idx in range(self.b):
-            if not self._queue:
-                break
-            if self._slots[slot_idx] is not None \
-                    and not self._slots[slot_idx].finished:
-                continue
-            rid, q, m, img, budget = self._queue.pop(0)
-            pf = self._prefill_fn(self.params, self.lora,
-                                  jnp.asarray(q)[None],
-                                  jnp.asarray(m)[None],
-                                  jnp.asarray(img)[None])
+        free = [i for i in range(self.b)
+                if self._slots[i] is None or self._slots[i].finished]
+        take = min(len(free), len(self._queue))
+        if not take:
+            return
+        assignments = list(zip(free[:take],
+                               [self._queue.pop(0) for _ in range(take)]))
+        # group into fixed batch buckets {4, 2, 1} so admissions share a
+        # handful of prefill/admit compiles (one per bucket size) while
+        # bursts pay one dispatch per GROUP rather than per request
+        i = 0
+        while i < len(assignments):
+            k = 4 if len(assignments) - i >= 4 else \
+                2 if len(assignments) - i >= 2 else 1
+            group = assignments[i:i + k]
+            i += k
+            pf = self._prefill_fn(
+                self.params, self.lora,
+                jnp.asarray(np.stack([g[1][1] for g in group])),
+                jnp.asarray(np.stack([g[1][2] for g in group])),
+                jnp.asarray(np.stack([g[1][3] for g in group])))
             if self._state is None:
                 self._state = self._init_state(pf["kv_list"])
             kv, pm, pos, ll, row_len = self._state
             kv, pm, pos, ll, row_len = self._admit_fn(
                 kv, pm, pos, ll, row_len, tuple(pf["kv_list"]),
                 pf["key_mask"], pf["next_position"], pf["last_logits"],
-                jnp.int32(slot_idx))
+                jnp.asarray([g[0] for g in group], jnp.int32))
             self._state = [kv, pm, pos, ll, row_len]
-            self._slots[slot_idx] = _Slot(request_id=rid, tokens=[],
-                                          budget=budget)
+            for slot_idx, (rid, _, _, _, budget) in group:
+                self._slots[slot_idx] = _Slot(request_id=rid, tokens=[],
+                                              budget=budget)
 
     def step(self) -> List[Tuple[int, np.ndarray]]:
         """Admit pending requests, decode one segment, fold, and return

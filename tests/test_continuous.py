@@ -147,6 +147,22 @@ def test_eos_frees_slot_and_budget_cap():
     assert out.shape[0] == 5
 
 
+def test_batched_admission_matches_solo():
+    """5 requests into a 4-slot pool exercise the grouped-admission
+    buckets (one k=4 prefill+admit, then k=1 after a slot frees): every
+    request must still be bitwise identical to its solo run."""
+    reqs = [_request(s) for s in (51, 52, 53, 54, 55)]
+    eng = _engine(max_batch=4, max_new=4, seg_len=2)
+    rids = [eng.add_request(*r) for r in reqs]
+    done = _run_all(eng)
+    assert len(done) == 5
+    for i, rid in enumerate(rids):
+        solo = _engine(max_batch=1, max_new=4, seg_len=2)
+        srid = solo.add_request(*reqs[i])
+        np.testing.assert_array_equal(done[rid], _run_all(solo)[srid],
+                                      err_msg=f"req {i}")
+
+
 def test_per_request_budgets():
     """Mixed per-request max_new caps in one pool: each request stops at
     its own budget and its tokens prefix-match the uncapped solo run."""
