@@ -31,6 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default="7b", choices=("7b", "13b"))
     p.add_argument("--bits", type=int, default=4, choices=(16, 8, 4))
     p.add_argument("--head-bits", type=int, default=4, choices=(16, 8, 4))
     p.add_argument("--slots", type=int, default=8)
@@ -51,7 +52,8 @@ def main():
     from opadpo_tpu.models import llava as llava_model
     from opadpo_tpu.ops import quant
 
-    cfg = llava_model.LlavaConfig.llava_7b()
+    cfg = (llava_model.LlavaConfig.llava_13b() if args.model == "13b"
+           else llava_model.LlavaConfig.llava_7b())
 
     def build():
         params = llava_model.init_params(jax.random.PRNGKey(0), cfg)
@@ -64,7 +66,8 @@ def main():
     shapes = jax.eval_shape(build)
     params = jax.jit(lambda: jax.tree_util.tree_map(
         lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
-    print(f"params ready (bits={args.bits})", flush=True)
+    print(f"params ready (model={args.model}, bits={args.bits})",
+          flush=True)
 
     rng = np.random.default_rng(args.seed)
     # mixed response lengths: short-heavy, like real chat/VQA traffic
