@@ -23,6 +23,11 @@ class SamplingConfig:
     top_k: int = 0              # 0 = disabled
     top_p: float = 1.0          # 1.0 = disabled
     greedy: bool = False
+    topk_impl: str = "sort"     # "sort" = lax.top_k; "approx" =
+    # lax.approx_max_k(recall_target=1.0) — same exact top-k set (TPU
+    # PartialReduce lowering, avoids the 32000-wide sort each step;
+    # may reorder TIES, which leaves the sampling distribution
+    # unchanged).  Flag exists for on-chip A/B.
     suppress_eos: bool = False  # reference suppress_tokens=[eos]
     eos_token_id: int = 2
     pad_token_id: int = 0
@@ -46,7 +51,11 @@ def sample_tokens(rng: jax.Array, logits: jax.Array,
         # the rollout recipe) — the full-vocab variant paid a 32000-wide
         # sort per decode step.  Distribution is identical: softmax over
         # the top-k filtered logits == softmax over the top-k values.
-        vals, idx = jax.lax.top_k(logits, cfg.top_k)     # sorted desc
+        if cfg.topk_impl == "approx":
+            vals, idx = jax.lax.approx_max_k(logits, cfg.top_k,
+                                             recall_target=1.0)
+        else:
+            vals, idx = jax.lax.top_k(logits, cfg.top_k)  # sorted desc
         if cfg.top_p < 1.0:
             probs = jax.nn.softmax(vals, axis=-1)
             cum = jnp.cumsum(probs, axis=-1)

@@ -80,6 +80,23 @@ def test_sample_tokens_top_k_top_p():
     assert 1 in seen  # crossing token is kept
 
 
+def test_approx_topk_impl_matches_sort():
+    """topk_impl="approx" (lax.approx_max_k, recall_target=1.0) draws the
+    same tokens as the sort-based top_k on tie-free logits — it is an
+    exact top-k, only the TPU lowering differs."""
+    rng = jax.random.PRNGKey(3)
+    logits = jax.random.normal(rng, (4, 503))   # continuous → no ties
+    for i in range(5):
+        key = jax.random.fold_in(rng, i)
+        a = sample_tokens(key, logits,
+                          SamplingConfig(top_k=30, top_p=0.95,
+                                         topk_impl="approx"))
+        b = sample_tokens(key, logits,
+                          SamplingConfig(top_k=30, top_p=0.95,
+                                         topk_impl="sort"))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_truncate_after_tokens():
     resp = np.array([[5, 7, 2, 9, 9], [5, 1577, 7, 2, 9], [4, 4, 4, 4, 4]])
     out = truncate_after_tokens(resp, eos_token_id=2, pad_token_id=0,
