@@ -100,17 +100,20 @@ def main():
             for q, m, im, budget in reqs:
                 eng.add_request(q, m, im, max_new=budget)
             t0 = time.perf_counter()
-            n_done = 0
+            lat = []
             while eng.has_work():
-                n_done += len(eng.step())
-            assert n_done == args.requests, n_done
-            return time.perf_counter() - t0
+                for _rid, _toks in eng.step():
+                    lat.append(time.perf_counter() - t0)
+            assert len(lat) == args.requests, len(lat)
+            return time.perf_counter() - t0, np.asarray(lat)
 
         run_continuous()        # compile warmup (prefill/seg/fold/admit)
-        dt = run_continuous()
+        dt, lat = run_continuous()
         print(f"continuous: {args.requests} reqs ({total_tokens} tok) in "
               f"{dt:.1f}s = {total_tokens/dt:.0f} tok/s "
-              f"(slots={args.slots}, seg={args.seg_len})", flush=True)
+              f"(slots={args.slots}, seg={args.seg_len}); request latency "
+              f"mean {lat.mean():.1f}s p50 {np.percentile(lat, 50):.1f}s "
+              f"p95 {np.percentile(lat, 95):.1f}s", flush=True)
 
     if args.mode in ("both", "batch"):
         # batch-synchronous: fill a batch, run ALL of it to the batch max
@@ -123,6 +126,7 @@ def main():
 
         def run_batch():
             t0 = time.perf_counter()
+            lat = []
             for i in range(0, args.requests, args.slots):
                 chunk = reqs[i:i + args.slots]
                 n_real = len(chunk)
@@ -143,13 +147,18 @@ def main():
                 out = samplers[cap].generate(params_d, q, m, im,
                                              jax.random.PRNGKey(i))
                 _ = np.asarray(out)
-            return time.perf_counter() - t0
+                # every request in the batch responds only when the whole
+                # batch does — that IS the batch-sync latency profile
+                lat.extend([time.perf_counter() - t0] * n_real)
+            return time.perf_counter() - t0, np.asarray(lat)
 
         run_batch()             # compile warmup per cap bucket
-        dt = run_batch()
+        dt, lat = run_batch()
         print(f"batch-sync: {args.requests} reqs ({total_tokens} tok) in "
               f"{dt:.1f}s = {total_tokens/dt:.0f} tok/s "
-              f"(batch={args.slots})", flush=True)
+              f"(batch={args.slots}); request latency "
+              f"mean {lat.mean():.1f}s p50 {np.percentile(lat, 50):.1f}s "
+              f"p95 {np.percentile(lat, 95):.1f}s", flush=True)
 
 
 if __name__ == "__main__":
