@@ -31,7 +31,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", default="7b", choices=("7b", "13b"))
+    p.add_argument("--model", default="7b", choices=("7b", "13b", "tiny"))
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (\"cpu\" validates the "
+                        "script end-to-end without the chip; the axon "
+                        "plugin ignores the env var, so this uses "
+                        "jax.config)")
     p.add_argument("--bits", type=int, default=4, choices=(16, 8, 4))
     p.add_argument("--head-bits", type=int, default=4, choices=(16, 8, 4))
     p.add_argument("--slots", type=int, default=8)
@@ -43,6 +48,8 @@ def main():
                    choices=("both", "continuous", "batch"))
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
     from opadpo_tpu.engine.continuous import ContinuousEngine
@@ -52,8 +59,9 @@ def main():
     from opadpo_tpu.models import llava as llava_model
     from opadpo_tpu.ops import quant
 
-    cfg = (llava_model.LlavaConfig.llava_13b() if args.model == "13b"
-           else llava_model.LlavaConfig.llava_7b())
+    cfg = {"7b": llava_model.LlavaConfig.llava_7b,
+           "13b": llava_model.LlavaConfig.llava_13b,
+           "tiny": llava_model.LlavaConfig.tiny}[args.model]()
 
     def build():
         params = llava_model.init_params(jax.random.PRNGKey(0), cfg)
@@ -71,16 +79,21 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     # mixed response lengths: short-heavy, like real chat/VQA traffic
+    # (fractions of max_new so the mix scales with the cap)
+    mn = args.max_new
     budgets = rng.choice(
-        [32, 64, 128, 256, args.max_new], size=args.requests,
+        [max(1, mn // 16), max(1, mn // 8), max(1, mn // 4),
+         max(1, mn // 2), mn], size=args.requests,
         p=[0.25, 0.25, 0.2, 0.15, 0.15]).astype(int)
     print("budgets:", np.sort(budgets)[::-1][:12], "...", flush=True)
     reqs = []
+    sz = cfg.vision.image_size
     for i in range(args.requests):
-        q = rng.integers(5, 32000, (args.query_len,)).astype(np.int32)
+        q = rng.integers(5, cfg.llama.vocab_size,
+                         (args.query_len,)).astype(np.int32)
         q[1] = IMAGE_TOKEN_INDEX
         reqs.append((q, np.ones_like(q),
-                     np.zeros((336, 336, 3), np.float32), int(budgets[i])))
+                     np.zeros((sz, sz, 3), np.float32), int(budgets[i])))
 
     total_tokens = int(budgets.sum())
     sampling = SamplingConfig(max_new_tokens=args.max_new, temperature=1.0,
