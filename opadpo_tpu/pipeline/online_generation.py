@@ -148,6 +148,7 @@ def run(cfg: Config) -> None:
         temperature=float(t.get("temperature", 1.0)),
         top_k=int(t.get("top_k", 30)),
         top_p=float(t.get("top_p", 0.95)),
+        topk_impl=str(t.get("topk_impl", "sort")),
         eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id,
         max_new_tokens=response_len)

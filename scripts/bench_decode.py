@@ -39,6 +39,8 @@ def main():
     p.add_argument("--steps", type=int, default=128)
     p.add_argument("--query-len", type=int, default=128)
     p.add_argument("--model", default="7b", choices=("7b", "13b"))
+    p.add_argument("--topk-impl", default="sort",
+                   choices=("sort", "approx"))
     p.add_argument("--kv-extra", type=int, default=0,
                    help="A/B probe: preallocate this many EXTRA unused "
                         "128-multiples of cache length beyond the chunked "
@@ -96,7 +98,7 @@ def main():
     # eos that never fires → the loop runs all `steps` steps
     sampling = SamplingConfig(max_new_tokens=args.steps, temperature=1.0,
                               top_k=30, top_p=0.95, eos_token_id=-1,
-                              pad_token_id=0)
+                              pad_token_id=0, topk_impl=args.topk_impl)
     kv_list = pf["kv_list"]     # int8 dicts when --kv-bits 8
 
     if args.chunk:
