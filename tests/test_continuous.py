@@ -147,6 +147,55 @@ def test_eos_frees_slot_and_budget_cap():
     assert out.shape[0] == 5
 
 
+def test_per_row_fold_matches_shared_offset_fold():
+    """When every row sits at the same fill length, the continuous
+    engine's gather-based per-row fold must produce exactly the same
+    cache as the rollout sampler's shared-offset DUS fold."""
+    from opadpo_tpu.engine.continuous import fold_suffix_per_row
+    from opadpo_tpu.models import llama as llama_model
+
+    # nseg must be 128-aligned (quantize_prompt_kv pads to 128-multiples,
+    # as every real chunk/segment length is)
+    b, h, s_total, hd, nseg, off, n = 2, 3, 384, 8, 128, 130, 60
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 10)
+
+    def cache(k1, k2):
+        return {"q": jax.random.randint(k1, (b, h, s_total, hd), -127, 128,
+                                        jnp.int32).astype(jnp.int8),
+                "scale": jax.random.uniform(k2, (b, h, s_total),
+                                            jnp.float32)}
+
+    kv = [(cache(ks[0], ks[1]), cache(ks[2], ks[3]))]
+    sfx = [(jax.random.normal(ks[4], (b, nseg, h, hd), jnp.float32),
+            jax.random.normal(ks[5], (b, nseg, h, hd), jnp.float32))]
+    pm = (jax.lax.broadcasted_iota(jnp.int32, (b, s_total), 1)
+          < off).astype(jnp.int32)
+
+    ref_kv, ref_pm = llama_model.fold_suffix_into_prompt_kv(
+        [tuple(jax.tree_util.tree_map(jnp.copy, kv[0]))],
+        list(sfx), pm, jnp.asarray(n), jnp.int32(off))
+    row_kv, row_pm = fold_suffix_per_row(
+        [tuple(jax.tree_util.tree_map(jnp.copy, kv[0]))], list(sfx), pm,
+        jnp.full((b,), off, jnp.int32), jnp.full((b,), n, jnp.int32))
+
+    np.testing.assert_array_equal(np.asarray(row_pm), np.asarray(ref_pm))
+    # contents must agree on every VALID position (the shared fold also
+    # writes the chunk's unfilled tail, the per-row fold does not — both
+    # regions are masked out by pm, so only the valid window is the
+    # contract)
+    valid = np.asarray(ref_pm)[:, None, :, None] != 0      # [B,1,S,1]
+    for (rk, rv), (pk, pv) in zip(row_kv, ref_kv):
+        for rc, pc in ((rk, pk), (rv, pv)):
+            np.testing.assert_array_equal(
+                np.where(valid, np.asarray(rc["q"]), 0),
+                np.where(valid, np.asarray(pc["q"]), 0))
+            np.testing.assert_allclose(
+                np.where(valid[..., 0], np.asarray(rc["scale"]), 0),
+                np.where(valid[..., 0], np.asarray(pc["scale"]), 0),
+                rtol=1e-6)
+
+
 def test_batched_admission_matches_solo():
     """5 requests into a 4-slot pool exercise the grouped-admission
     buckets (one k=4 prefill+admit, then k=1 after a slot frees): every
