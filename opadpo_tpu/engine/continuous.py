@@ -122,6 +122,7 @@ class ContinuousEngine:
                  params: dict, lora: Optional[dict] = None,
                  lora_scaling: float = 1.0, max_batch: int = 8,
                  qlen: int = 128, seg_len: int = 64, su_bucket: int = 256,
+                 max_admit_group: int = 4,
                  rng: Optional[jax.Array] = None):
         assert "layer_list" in params.get("llama", {}), \
             "params must be in decode layout (Sampler.prepare_params)"
@@ -134,6 +135,11 @@ class ContinuousEngine:
         self.qlen = qlen
         self.seg_len = seg_len
         self.su_bucket = max(128, (su_bucket // 128) * 128)
+        # cap on the admission prefill batch: a B=k prefill's activation
+        # + kv_list peak coexists with the full slot-pool cache, so large
+        # models (13B int4) should cap this at 1-2 to keep HBM headroom
+        assert max_admit_group in (1, 2, 4), max_admit_group
+        self.max_admit_group = max_admit_group
         self.rng = jax.random.PRNGKey(0) if rng is None else rng
 
         self.sp_splice = qlen - 1 + cfg.num_patches
@@ -265,8 +271,9 @@ class ContinuousEngine:
         # bursts pay one dispatch per GROUP rather than per request
         i = 0
         while i < len(assignments):
-            k = 4 if len(assignments) - i >= 4 else \
-                2 if len(assignments) - i >= 2 else 1
+            left = len(assignments) - i
+            k = min(self.max_admit_group, 4 if left >= 4 else
+                    2 if left >= 2 else 1)
             group = assignments[i:i + k]
             i += k
             pf = self._prefill_fn(

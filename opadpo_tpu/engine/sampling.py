@@ -33,6 +33,11 @@ class SamplingConfig:
     pad_token_id: int = 0
     max_new_tokens: int = 896
 
+    def __post_init__(self):
+        if self.topk_impl not in ("sort", "approx"):
+            raise ValueError(f"topk_impl={self.topk_impl!r} "
+                             "(expected 'sort' or 'approx')")
+
 
 def sample_tokens(rng: jax.Array, logits: jax.Array,
                   cfg: SamplingConfig) -> jax.Array:

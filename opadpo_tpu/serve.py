@@ -144,7 +144,7 @@ class ContinuousWorker:
     def __init__(self, params, cfg, tokenizer, lora=None,
                  lora_scaling: float = 1.0, max_batch: int = 8,
                  max_new_tokens: int = 512, seg_len: int = 64,
-                 head_bits: int = 16):
+                 head_bits: int = 16, max_admit_group: int = 4):
         from opadpo_tpu.engine.continuous import ContinuousEngine
         from opadpo_tpu.engine.sampler import Sampler
         from opadpo_tpu.engine.sampling import SamplingConfig
@@ -163,7 +163,7 @@ class ContinuousWorker:
             return ContinuousEngine(
                 cfg, self.sampling, params, lora=lora,
                 lora_scaling=lora_scaling, max_batch=max_batch,
-                seg_len=seg_len)
+                seg_len=seg_len, max_admit_group=max_admit_group)
 
         self._mk_engine = mk_engine
         self.engine = mk_engine()
@@ -289,6 +289,9 @@ def main():
     p.add_argument("--seg-len", type=int, default=64,
                    help="continuous mode: decode steps per scheduling "
                         "segment (admission latency quantum)")
+    p.add_argument("--admit-group", type=int, default=4, choices=(1, 2, 4),
+                   help="continuous mode: max admission prefill batch — "
+                        "cap at 1-2 for large models to keep HBM headroom")
     p.add_argument("--visual-tokens", type=int, default=0,
                    help="training-free visual-token pruning: keep only "
                         "the top-K projected patches (0 = all 576)")
@@ -316,7 +319,8 @@ def main():
                                   max_batch=args.max_batch,
                                   max_new_tokens=args.max_new_tokens,
                                   seg_len=args.seg_len,
-                                  head_bits=args.head_bits)
+                                  head_bits=args.head_bits,
+                                  max_admit_group=args.admit_group)
     else:
         worker = InferenceWorker(params, cfg, tokenizer, lora=lora,
                                  lora_scaling=scaling,

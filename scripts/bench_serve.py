@@ -42,6 +42,7 @@ def main():
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--requests", type=int, default=32)
     p.add_argument("--seg-len", type=int, default=64)
+    p.add_argument("--admit-group", type=int, default=4, choices=(1, 2, 4))
     p.add_argument("--max-new", type=int, default=512)
     p.add_argument("--query-len", type=int, default=128)
     p.add_argument("--mode", default="both",
@@ -96,6 +97,11 @@ def main():
                      np.zeros((sz, sz, 3), np.float32), int(budgets[i])))
 
     total_tokens = int(budgets.sum())
+
+    def lat_str(lat):
+        return (f"request latency mean {lat.mean():.1f}s "
+                f"p50 {np.percentile(lat, 50):.1f}s "
+                f"p95 {np.percentile(lat, 95):.1f}s")
     sampling = SamplingConfig(max_new_tokens=args.max_new, temperature=1.0,
                               top_k=30, top_p=0.95, eos_token_id=-1,
                               pad_token_id=0)
@@ -107,7 +113,8 @@ def main():
         eng = ContinuousEngine(cfg, sampling, params,
                                max_batch=args.slots,
                                qlen=args.query_len,
-                               seg_len=args.seg_len)
+                               seg_len=args.seg_len,
+                               max_admit_group=args.admit_group)
 
         def run_continuous():
             for q, m, im, budget in reqs:
@@ -124,9 +131,8 @@ def main():
         dt, lat = run_continuous()
         print(f"continuous: {args.requests} reqs ({total_tokens} tok) in "
               f"{dt:.1f}s = {total_tokens/dt:.0f} tok/s "
-              f"(slots={args.slots}, seg={args.seg_len}); request latency "
-              f"mean {lat.mean():.1f}s p50 {np.percentile(lat, 50):.1f}s "
-              f"p95 {np.percentile(lat, 95):.1f}s", flush=True)
+              f"(slots={args.slots}, seg={args.seg_len}); "
+              + lat_str(lat), flush=True)
 
     if args.mode in ("both", "batch"):
         # batch-synchronous: fill a batch, run ALL of it to the batch max
@@ -169,9 +175,7 @@ def main():
         dt, lat = run_batch()
         print(f"batch-sync: {args.requests} reqs ({total_tokens} tok) in "
               f"{dt:.1f}s = {total_tokens/dt:.0f} tok/s "
-              f"(batch={args.slots}); request latency "
-              f"mean {lat.mean():.1f}s p50 {np.percentile(lat, 50):.1f}s "
-              f"p95 {np.percentile(lat, 95):.1f}s", flush=True)
+              f"(batch={args.slots}); " + lat_str(lat), flush=True)
 
 
 if __name__ == "__main__":
