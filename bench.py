@@ -229,6 +229,73 @@ def bench_rollout_decode(b: int = 16, steps: int = 896) -> dict:
             "config": f"int4_kv8_head4_chunk{chunk}_b{b}_steps{steps}"}
 
 
+def bench_serving(slots: int = 8, requests: int = 24,
+                  max_new: int = 512) -> dict:
+    """Continuous (slot-pool) serving throughput + request latency on a
+    short-heavy mixed-length workload (engine/continuous.py; the
+    reference's HF ``generate`` is batch-synchronous — no equivalent).
+    Geometry matches scripts/bench_serve.py defaults so the compiled
+    programs are shared with the standalone comparison benchmark."""
+    from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
+    from opadpo_tpu.engine.continuous import ContinuousEngine
+    from opadpo_tpu.engine.sampling import SamplingConfig
+    from opadpo_tpu.models import llama as llama_model
+    from opadpo_tpu.models import llava as llava_model
+    from opadpo_tpu.models.llava import LlavaConfig
+    from opadpo_tpu.ops import quant
+
+    quant.set_act_quant(False)
+    cfg = LlavaConfig.llava_7b()
+
+    def build():
+        params = llava_model.init_params(jax.random.PRNGKey(0), cfg)
+        params = quant.quantize_params(params, bits=4)
+        llama = llama_model.fuse_for_inference(params["llama"])
+        llama = llama_model.quantize_head_for_decode(llama, 4)
+        return {**params, "llama": llama_model.unstack_layers(llama)}
+
+    shapes = jax.eval_shape(build)
+    params = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
+
+    rng = np.random.default_rng(0)
+    budgets = rng.choice(
+        [max_new // 16, max_new // 8, max_new // 4, max_new // 2, max_new],
+        size=requests, p=[0.25, 0.25, 0.2, 0.15, 0.15]).astype(int)
+    reqs = []
+    for i in range(requests):
+        q = rng.integers(5, 32000, (128,)).astype(np.int32)
+        q[1] = IMAGE_TOKEN_INDEX
+        reqs.append((q, np.ones_like(q),
+                     np.zeros((336, 336, 3), np.float32), int(budgets[i])))
+    total_tokens = int(budgets.sum())
+    sampling = SamplingConfig(max_new_tokens=max_new, temperature=1.0,
+                              top_k=30, top_p=0.95, eos_token_id=-1,
+                              pad_token_id=0)
+    eng = ContinuousEngine(cfg, sampling, params, max_batch=slots,
+                           qlen=128, seg_len=64)
+
+    def run():
+        for q, m, im, budget in reqs:
+            eng.add_request(q, m, im, max_new=budget)
+        t0 = time.perf_counter()
+        lat = []
+        while eng.has_work():
+            for _rid, _toks in eng.step():
+                lat.append(time.perf_counter() - t0)
+        assert len(lat) == requests, len(lat)
+        return time.perf_counter() - t0, lat
+
+    run()                       # compile warmup (prefill/segment/fold/admit)
+    dt, lat = run()
+    lat = np.asarray(lat)
+    return {"tokens_per_sec": round(total_tokens / dt, 1),
+            "latency_p50_s": round(float(np.percentile(lat, 50)), 2),
+            "latency_p95_s": round(float(np.percentile(lat, 95)), 2),
+            "config": f"int4_kv8_head4_slots{slots}_seg64_"
+                      f"reqs{requests}_mixed{max_new}"}
+
+
 def bench_sft_step(b: int = 4, seq: int = 1600, iters: int = 2) -> dict:
     """OPA SFT step (reference hot loop #2: LLaVATrainer fwd/bwd on 4x
     A100, run/train_opa.sh; stage wall-clock ~30 min, README.md:121)."""
@@ -398,6 +465,7 @@ _HOT_LOOPS = {
     "rollout_decode": lambda: bench_rollout_decode(),
     "sft_step": lambda: bench_sft_step(),
     "dpo_step": lambda: bench_dpo_step(),
+    "serving_continuous": lambda: bench_serving(),
 }
 
 
@@ -474,7 +542,8 @@ def main():
     # item 3): scoring is the headline; rollout decode / SFT / DPO step
     # land in hot_loops so regressions are bench-visible.
     hot_loops = {}
-    for name in ("rollout_decode", "sft_step", "dpo_step"):
+    for name in ("rollout_decode", "sft_step", "dpo_step",
+                 "serving_continuous"):
         try:
             hot_loops[name] = _run_hot_loop_subprocess(name)
         except Exception as e:
