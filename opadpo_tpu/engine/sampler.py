@@ -284,10 +284,14 @@ class Sampler:
     def __init__(self, cfg: LlavaConfig, sampling: SamplingConfig,
                  lora_scaling: float = 1.0, unroll: bool = True,
                  kv_bits: int = 16, head_bits: int = 16, chunk: int = 0):
-        assert kv_bits in (16, 8), kv_bits
+        assert kv_bits in (16, 8, 4), kv_bits
         assert head_bits in (16, 8, 4), head_bits
-        assert chunk == 0 or (kv_bits == 8 and chunk % 128 == 0), \
+        # int4 cache: 256 is the packed group size (llama.quantize_
+        # prompt_kv_int4) — every length/offset must be 256-aligned
+        align = 256 if kv_bits == 4 else 128
+        assert chunk == 0 or (kv_bits in (8, 4) and chunk % align == 0), \
             (chunk, kv_bits)
+        self._kv_align = align
         self.cfg = cfg
         self.sampling = sampling
         self.lora_scaling = lora_scaling
@@ -309,14 +313,14 @@ class Sampler:
                 # program output (see llava.prefill_unrolled docstring).
                 # Chunked: preallocate at the final folded length so the
                 # folds are in-place (llama.fold_suffix_into_prompt_kv).
-                qkv = self.kv_bits == 8
+                qkv = self.kv_bits in (8, 4)
                 total = self._kv_total_len(s_prompt) if (
                     qkv and self.chunk) else None
                 self._prefill_fn[s_prompt] = jax.jit(
                     lambda p, lo, q, m, im: llava_model.prefill_unrolled(
                         p, self.cfg, q, m, im, lora=lo,
                         lora_scaling=self.lora_scaling, quantize_kv=qkv,
-                        kv_total_len=total))
+                        kv_total_len=total, kv_bits=self.kv_bits))
             else:
                 self._prefill_fn[s_prompt] = jax.jit(
                     lambda p, lo, q, m, im: llava_model.prefill(
@@ -327,7 +331,8 @@ class Sampler:
     def _kv_total_len(self, s_prompt: int) -> int:
         """Final quantized-cache length after all chunked-decode folds:
         padded prompt + one chunk per fold (the last chunk never folds)."""
-        sp_pad0 = -(-s_prompt // 128) * 128
+        a = self._kv_align
+        sp_pad0 = -(-s_prompt // a) * a
         n_chunks = -(-self.sampling.max_new_tokens // self.chunk)
         return sp_pad0 + (n_chunks - 1) * self.chunk
 
@@ -404,8 +409,9 @@ class Sampler:
                 donate_argnums=(0, 1, 2))
         # mask in CACHE layout (padded to the preallocated length):
         # zeros on the quantizer's padding and the not-yet-filled tail
-        sp_total = kv_list[0][0]["q"].shape[2]
-        sp_pad0 = -(-key_mask.shape[1] // 128) * 128
+        sp_total = kv_list[0][0]["scale"].shape[2]
+        a = self._kv_align
+        sp_pad0 = -(-key_mask.shape[1] // a) * a
         pm = jnp.pad(key_mask, ((0, 0), (0, sp_total - key_mask.shape[1])))
         done = jnp.zeros((b,), bool)
         outs = []
@@ -440,8 +446,8 @@ class Sampler:
         pf = self._get_prefill(s_prompt)(params, lora, input_ids,
                                          text_mask, images)
         if self.unroll:
-            kv_list = pf["kv_list"]     # int8 dicts when kv_bits == 8
-            if self.kv_bits == 8:
+            kv_list = pf["kv_list"]     # quant dicts when kv_bits < 16
+            if self.kv_bits in (8, 4):
                 if self.chunk:
                     return self._generate_chunked(
                         params, lora, kv_list, pf["key_mask"],

@@ -176,7 +176,7 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=1024)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--short_eval", action="store_true")
-    p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8))
+    p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8, 4))
     p.add_argument("--head-bits", type=int, default=16, choices=(16, 8, 4))
     p.add_argument("--decode-chunk", type=int, default=0)
     p.add_argument("--visual-tokens", type=int, default=0,

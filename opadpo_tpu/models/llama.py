@@ -480,11 +480,62 @@ def quantize_prompt_kv(kv: jax.Array, total_len: Optional[int] = None
     return {"q": q, "scale": scale}
 
 
+def quantize_prompt_kv_int4(kv: jax.Array, total_len: Optional[int] = None
+                            ) -> dict:
+    """int4 variant of ``quantize_prompt_kv``: [B, Sp, H, hd] →
+    ``{"q4": int8 [B, H, Sp_pad/2, hd], "scale": f32 [B, H, Sp_pad]}``.
+
+    Packing is GROUP-LOCAL HALF-SPLIT along the sequence axis (the same
+    shape trick as ``ops/quant.quantize_weight_int4``): within each
+    256-position group, byte ``g*128 + r`` holds position ``g*256 + r``
+    in its low nibble and ``g*256 + 128 + r`` in its high nibble.  The
+    decode kernel then unpacks a 128-row slab with two shifts into two
+    adjacent 128-position key tiles — no per-element interleave (which
+    Mosaic lowers poorly), the minor dim stays hd=128 lanes, and because
+    softmax is permutation-invariant over keys the kernel just folds each
+    tile into the online-softmax state independently.
+
+    Scale/mask/bias layouts are IDENTICAL to the int8 cache, so
+    everything except the packed values (and the 256- instead of
+    128-alignment of lengths/offsets) is shared with the kv8 path."""
+    amax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1)   # [B, Sp, H]
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(kv.astype(jnp.float32) / scale[..., None]),
+                 -8, 7).astype(jnp.int32)
+    q = q.transpose(0, 2, 1, 3)                                # [B,H,Sp,hd]
+    scale = scale.transpose(0, 2, 1)
+    b, h, sp, hd = q.shape
+    sp_pad = total_len if total_len is not None else -(-sp // 256) * 256
+    assert sp_pad >= sp and sp_pad % 256 == 0, (sp, sp_pad)
+    if sp_pad != sp:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sp_pad - sp), (0, 0)))
+        scale = jnp.pad(scale, ((0, 0), (0, 0), (0, sp_pad - sp)))
+    qg = q.reshape(b, h, sp_pad // 256, 256, hd)
+    lo = qg[:, :, :, :128, :]
+    hi = qg[:, :, :, 128:, :]
+    packed = (hi * 16 + (lo & 0xF)).astype(jnp.int8)
+    return {"q4": packed.reshape(b, h, sp_pad // 2, hd), "scale": scale}
+
+
+def dequantize_prompt_kv_int4(pkq: dict) -> jax.Array:
+    """Inverse of ``quantize_prompt_kv_int4`` (reference/test path) →
+    head-major dequantized [B, H, Sp_pad, hd] f32."""
+    packed, scale = pkq["q4"], pkq["scale"]
+    b, h, sp2, hd = packed.shape
+    p32 = packed.reshape(b, h, sp2 // 128, 128, hd).astype(jnp.int32)
+    lo = ((p32 & 0xF) ^ 8) - 8
+    hi = p32 >> 4
+    q = jnp.concatenate([lo, hi], axis=3).reshape(b, h, 2 * sp2, hd)
+    return q.astype(jnp.float32) * scale[..., None]
+
+
 def quantize_prompt_kv_list(kv_list: list,
-                            total_len: Optional[int] = None) -> list:
+                            total_len: Optional[int] = None,
+                            kv_bits: int = 8) -> list:
     """[(pk, pv), ...] → [(pk_q, pv_q), ...] for decode_forward_unrolled."""
-    return [(quantize_prompt_kv(pk, total_len),
-             quantize_prompt_kv(pv, total_len))
+    fn = quantize_prompt_kv if kv_bits == 8 else quantize_prompt_kv_int4
+    assert kv_bits in (8, 4), kv_bits
+    return [(fn(pk, total_len), fn(pv, total_len))
             for pk, pv in kv_list]
 
 
@@ -544,8 +595,23 @@ def fold_suffix_into_prompt_kv(kv_list: list, suffix_list: list,
     the FILLED length via the kernel's static ``s_used`` watermark
     (ops/decode_attention.decode_attention_prompt)."""
     c = suffix_list[0][0].shape[1]
+    int4 = "q4" in kv_list[0][0]
     new_kv = []
     for (pk, pv), (sk, sv) in zip(kv_list, suffix_list):
+        if int4:
+            # packed cache: values land at offset//2 on the packed axis
+            # (offsets are 256-aligned by construction — prompt pad and
+            # chunk are 256-multiples when kv_bits=4), scales at offset
+            qk = quantize_prompt_kv_int4(sk)
+            qv = quantize_prompt_kv_int4(sv)
+            assert qk["q4"].shape[2] == c // 2, (qk["q4"].shape, c)
+            new_kv.append(tuple(
+                {"q4": jax.lax.dynamic_update_slice(
+                    pc["q4"], qc["q4"], (0, 0, offset // 2, 0)),
+                 "scale": jax.lax.dynamic_update_slice(
+                     pc["scale"], qc["scale"], (0, 0, offset))}
+                for pc, qc in ((pk, qk), (pv, qv))))
+            continue
         qk = quantize_prompt_kv(sk)
         qv = quantize_prompt_kv(sv)
         assert qk["q"].shape[2] == c, (qk["q"].shape, c)
@@ -595,13 +661,23 @@ def _decode_layer(x, lp, ll, pk, pv, sk, sv, *, cfg, lora_scaling,
                            preferred_element_type=jnp.float32) * scale
     ss_scores = jnp.where(suf_valid, ss_scores, _NEG_INF)
     if isinstance(pk, dict):
-        # int8 prompt cache → fused Pallas kernel over the (big, constant)
-        # prompt piece, flash-state merge with the (small, mutable) bf16
-        # suffix piece outside
-        from opadpo_tpu.ops.decode_attention import decode_attention_prompt
-        out_p, m_p, l_p = decode_attention_prompt(
-            qh.astype(x.dtype), pk["q"], pk["scale"], pv["q"], pv["scale"],
-            pbias, scale, s_used=sp_used)
+        # int8/int4 prompt cache → fused Pallas kernel over the (big,
+        # constant) prompt piece, flash-state merge with the (small,
+        # mutable) bf16 suffix piece outside
+        if "q4" in pk:
+            from opadpo_tpu.ops.decode_attention import (
+                decode_attention_prompt4,
+            )
+            out_p, m_p, l_p = decode_attention_prompt4(
+                qh.astype(x.dtype), pk["q4"], pk["scale"], pv["q4"],
+                pv["scale"], pbias, scale, s_used=sp_used)
+        else:
+            from opadpo_tpu.ops.decode_attention import (
+                decode_attention_prompt,
+            )
+            out_p, m_p, l_p = decode_attention_prompt(
+                qh.astype(x.dtype), pk["q"], pk["scale"], pv["q"],
+                pv["scale"], pbias, scale, s_used=sp_used)
         m_s = jnp.max(ss_scores, axis=-1)                # [B, H]
         m = jnp.maximum(m_p, m_s)
         alpha_p = jnp.exp(m_p - m)
@@ -803,8 +879,9 @@ def decode_forward_unrolled(
     pbias = None
     if isinstance(prompt_kv[0][0], dict):
         # additive prompt bias for the fused decode-attention kernel,
-        # in the cache's padded length (pads invalid)
-        sp_pad = prompt_kv[0][0]["q"].shape[2]
+        # in the cache's padded length (pads invalid); the scale array
+        # carries the UNPACKED length for both the int8 and int4 caches
+        sp_pad = prompt_kv[0][0]["scale"].shape[2]
         sp = prompt_mask.shape[1]
         pbias = jnp.pad(
             jnp.where(prompt_mask != 0, 0.0, _NEG_INF).astype(jnp.float32),

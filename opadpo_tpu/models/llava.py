@@ -326,6 +326,7 @@ def prefill_unrolled(
     attn_impl: str = "auto",
     quantize_kv: bool = False,
     kv_total_len: Optional[int] = None,
+    kv_bits: int = 8,
 ) -> dict:
     """Prompt pass over per-layer weights → dict(kv_list, last_logits,
     key_mask [B, Sp], next_position).
@@ -352,7 +353,8 @@ def prefill_unrolled(
         attn_impl=attn_impl)
     if quantize_kv:
         kv_list = llama_model.quantize_prompt_kv_list(list(kv_list),
-                                                      kv_total_len)
+                                                      kv_total_len,
+                                                      kv_bits=kv_bits)
     return {
         "kv_list": kv_list,
         "last_logits": logits[:, 0, :] if logits.ndim == 3 else logits,

@@ -94,6 +94,82 @@ def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref,
             l_ref[0, h, 0] = l_scr[h]
 
 
+def _kernel4(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref,
+             o_ref, m_ref, l_ref, acc_scr, m_scr, l_scr, *, hblk, nsb,
+             sm_scale):
+    """int4 variant: the K/V blocks are GROUP-LOCAL HALF-SPLIT packed
+    (``llama.quantize_prompt_kv_int4``): a [sblk/2, hd] int8 block holds
+    each 256-position group's first 128 positions in the low nibbles and
+    its second 128 in the high nibbles.  Unpack = two shifts per 128-row
+    slab (the Mosaic-legal int32-lane form, same as quant._q4_matmul_
+    kernel) → two adjacent key tiles, each folded into the online-softmax
+    state independently (softmax is permutation-invariant over keys, so
+    tile order never matters)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        for h in range(hblk):
+            m_scr[h] = _NEG_INF
+            l_scr[h] = 0.0
+
+    qb = q_ref[0]                                   # [hblk, hd] bf16
+    bias = bias_ref[0]                              # [1, sblk] f32
+    sblk = bias.shape[1]
+    for h in range(hblk):
+        kp = k_ref[0, h]                            # [sblk/2, hd] packed
+        vp = v_ref[0, h]
+        qrow = qb[h][None, :].astype(jnp.bfloat16)  # [1, hd]
+        for gi in range(sblk // 256):
+            k32 = kp[gi * 128:(gi + 1) * 128, :].astype(jnp.int32)
+            v32 = vp[gi * 128:(gi + 1) * 128, :].astype(jnp.int32)
+            k_lo = (((k32 & 0xF) ^ 8) - 8).astype(jnp.bfloat16)
+            k_hi = (k32 >> 4).astype(jnp.bfloat16)
+            v_lo = (((v32 & 0xF) ^ 8) - 8).astype(jnp.bfloat16)
+            v_hi = (v32 >> 4).astype(jnp.bfloat16)
+            o_lo, o_hi = gi * 256, gi * 256 + 128
+
+            s_lo = jax.lax.dot_general(
+                qrow, k_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [1, 128]
+            s_hi = jax.lax.dot_general(
+                qrow, k_hi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s_lo = s_lo * (ks_ref[0, h][None, o_lo:o_lo + 128] * sm_scale) \
+                + bias[:, o_lo:o_lo + 128]
+            s_hi = s_hi * (ks_ref[0, h][None, o_hi:o_hi + 128] * sm_scale) \
+                + bias[:, o_hi:o_hi + 128]
+
+            m_old = m_scr[h]
+            m_new = jnp.maximum(m_old,
+                                jnp.maximum(jnp.max(s_lo), jnp.max(s_hi)))
+            alpha = jnp.exp(m_old - m_new)
+            p_lo = jnp.exp(s_lo - m_new)
+            p_hi = jnp.exp(s_hi - m_new)
+            l_scr[h] = (l_scr[h] * alpha
+                        + jnp.sum(p_lo) + jnp.sum(p_hi))
+            pw_lo = (p_lo * vs_ref[0, h][None, o_lo:o_lo + 128]
+                     ).astype(jnp.bfloat16)
+            pw_hi = (p_hi * vs_ref[0, h][None, o_hi:o_hi + 128]
+                     ).astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                pw_lo, v_lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            pv = pv + jax.lax.dot_general(
+                pw_hi, v_hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_scr[h:h + 1, :] = acc_scr[h:h + 1, :] * alpha + pv
+            m_scr[h] = m_new
+
+    @pl.when(kk == nsb - 1)
+    def _():
+        o_ref[0] = acc_scr[:]
+        for h in range(hblk):
+            m_ref[0, h, 0] = m_scr[h]
+            l_ref[0, h, 0] = l_scr[h]
+
+
 def _pick_hblk(h: int, block_h: int) -> int:
     """Largest divisor of ``h`` that fits the block cap AND is
     Mosaic-legal as a block dim: the head axis is second-to-last in the
@@ -106,6 +182,112 @@ def _pick_hblk(h: int, block_h: int) -> int:
         if h % cand == 0 and (cand % 8 == 0 or cand == h):
             return cand
     return h          # block == array dim is always legal
+
+
+def _pick_sblk(sp: int, block_s: int, align: int) -> int:
+    """Largest divisor of ``sp`` that is an ``align``-multiple and fits
+    the VMEM cap ``block_s``."""
+    for nsb_c in range(1, sp // align + 1):
+        if sp % nsb_c == 0 and sp // nsb_c <= block_s \
+                and (sp // nsb_c) % align == 0:
+            return sp // nsb_c
+    return align
+
+
+def decode_attention_prompt4(
+    q: jax.Array,          # [B, H, hd] (post-rope query for the new token)
+    pk_q4: jax.Array,      # [B, H, Sp_pad/2, hd] int8 (half-split packed)
+    k_scale: jax.Array,    # [B, H, Sp_pad] f32
+    pv_q4: jax.Array,      # [B, H, Sp_pad/2, hd] int8
+    v_scale: jax.Array,    # [B, H, Sp_pad] f32
+    bias: jax.Array,       # [B, Sp_pad] f32 additive (0 valid / -1e30)
+    sm_scale: float,
+    block_h: int = 16,
+    block_s: int = 1024,
+    s_used: int | None = None,
+    _local: bool = False,
+) -> tuple:
+    """int4-cache variant of ``decode_attention_prompt`` (same contract).
+    Lengths and ``s_used`` must be 256-multiples (the packed group size);
+    everything else — scales, mask bias, flash-state merge — is the int8
+    layout unchanged."""
+    b, h, sp = k_scale.shape
+    assert pk_q4.shape[2] * 2 == sp, (pk_q4.shape, sp)
+    if s_used is not None:
+        assert 0 < s_used <= sp and s_used % 256 == 0, (s_used, sp)
+        sp = s_used
+
+    from opadpo_tpu.ops.attention import get_tp_mesh
+    mesh = None if _local else get_tp_mesh()
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from opadpo_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        n_data = mesh.shape.get(DATA_AXIS, 1)
+        n_model = mesh.shape.get(MODEL_AXIS, 1)
+        if b % n_data == 0 and h % n_model == 0 and n_model > 1:
+            q_spec = P(DATA_AXIS, MODEL_AXIS, None)
+            kv_spec_p = P(DATA_AXIS, MODEL_AXIS, None, None)
+            sc_spec_p = P(DATA_AXIS, MODEL_AXIS, None)
+            fn = shard_map(
+                lambda q_, pk_, ks_, pv_, vs_, bi_:
+                decode_attention_prompt4(
+                    q_, pk_, ks_, pv_, vs_, bi_, sm_scale,
+                    block_h=block_h, block_s=block_s, s_used=s_used,
+                    _local=True),
+                mesh=mesh,
+                in_specs=(q_spec, kv_spec_p, sc_spec_p, kv_spec_p,
+                          sc_spec_p, P(DATA_AXIS, None)),
+                out_specs=(q_spec, P(DATA_AXIS, MODEL_AXIS),
+                           P(DATA_AXIS, MODEL_AXIS)),
+                check_vma=False,
+            )
+            return fn(q, pk_q4, k_scale, pv_q4, v_scale, bias)
+
+    hd = pk_q4.shape[3]
+    hblk = _pick_hblk(h, block_h)
+    sblk = _pick_sblk(sp, block_s, 256)
+    nsb = sp // sblk
+    grid = (b, h // hblk, nsb)
+
+    kv_spec = pl.BlockSpec((1, hblk, sblk // 2, hd),
+                           lambda b_, hb, kk: (b_, hb, kk, 0),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, hblk, sblk),
+                           lambda b_, hb, kk: (b_, hb, kk),
+                           memory_space=pltpu.VMEM)
+    ml_spec = pl.BlockSpec((1, hblk, 1), lambda b_, hb, kk: (b_, hb, 0),
+                           memory_space=pltpu.SMEM)
+    out, m, l = pl.pallas_call(
+        functools.partial(_kernel4, hblk=hblk, nsb=nsb, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, hblk, hd), lambda b_, hb, kk: (b_, hb, 0),
+                         memory_space=pltpu.VMEM),
+            kv_spec, sc_spec, kv_spec, sc_spec,
+            pl.BlockSpec((1, 1, sblk), lambda b_, hb, kk: (b_, 0, kk),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hblk, hd), lambda b_, hb, kk: (b_, hb, 0),
+                         memory_space=pltpu.VMEM),
+            ml_spec, ml_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hblk, hd), jnp.float32),
+            pltpu.SMEM((hblk,), jnp.float32),
+            pltpu.SMEM((hblk,), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(q, pk_q4, k_scale, pv_q4, v_scale, bias[:, None, :])
+    return out, m[:, :, 0], l[:, :, 0]
 
 
 def decode_attention_prompt(
@@ -173,12 +355,7 @@ def decode_attention_prompt(
     # largest divisor of sp that is a 128-multiple and fits the VMEM cap:
     # a fixed candidate list degraded to 128-wide blocks on lengths like
     # 896/1152 (chunked-decode growth steps), measured 15% slower
-    sblk = 128
-    for nsb_c in range(1, sp // 128 + 1):
-        if sp % nsb_c == 0 and sp // nsb_c <= block_s \
-                and (sp // nsb_c) % 128 == 0:
-            sblk = sp // nsb_c
-            break
+    sblk = _pick_sblk(sp, block_s, 128)
     nsb = sp // sblk
     grid = (b, h // hblk, nsb)
 

@@ -276,7 +276,7 @@ def main():
     p.add_argument("--bits", type=int, default=16, choices=(16, 8, 4))
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=512)
-    p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8),
+    p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8, 4),
                    help="int8 prompt-KV cache + fused decode-attention")
     p.add_argument("--head-bits", type=int, default=16, choices=(16, 4),
                    help="int4 lm_head during decode")

@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bits", type=int, default=8, choices=(16, 8, 4))
-    p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8))
+    p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8, 4))
     p.add_argument("--head-bits", type=int, default=16, choices=(16, 8, 4))
     p.add_argument("--chunk", type=int, default=0,
                    help="chunked decode: fold the suffix into the int8 "
@@ -83,14 +83,15 @@ def main():
     # program output (it set the decode-batch memory ceiling); chunked:
     # preallocate at final length so folds are in-place
     s_prompt = args.query_len - 1 + cfg.num_patches
-    sp_pad0 = -(-s_prompt // 128) * 128
+    align = 256 if args.kv_bits == 4 else 128
+    sp_pad0 = -(-s_prompt // align) * align
     kv_total = None
     if args.chunk:
         kv_total = sp_pad0 + (-(-args.steps // args.chunk) - 1) * args.chunk \
             + args.kv_extra * 128
     pf_fn = jax.jit(lambda p, q, m, im: llava_model.prefill_unrolled(
-        p, cfg, q, m, im, quantize_kv=(args.kv_bits == 8),
-        kv_total_len=kv_total))
+        p, cfg, q, m, im, quantize_kv=(args.kv_bits in (8, 4)),
+        kv_total_len=kv_total, kv_bits=args.kv_bits))
     pf = pf_fn(params, jnp.asarray(q), jnp.asarray(qm), images)
     _ = float(jnp.sum(pf["last_logits"]))
     print("prefill done", flush=True)
@@ -102,7 +103,7 @@ def main():
     kv_list = pf["kv_list"]     # int8 dicts when --kv-bits 8
 
     if args.chunk:
-        assert args.kv_bits == 8 and args.chunk % 128 == 0
+        assert args.kv_bits in (8, 4) and args.chunk % align == 0
         c = args.chunk
         chunk_fn = jax.jit(
             lambda p, kv, pm, pos, ll, r, d0, n, su: decode_loop_unrolled(
@@ -119,7 +120,7 @@ def main():
             # consumes kv0 (the folds donate it) — caller passes a fresh
             # prefill cache per run; holding a second copy for the timed
             # run is itself 2.4 GB at B=12 and OOMs
-            sp_total = kv0[0][0]["q"].shape[2]
+            sp_total = kv0[0][0]["scale"].shape[2]
             pm = jnp.pad(pf["key_mask"],
                          ((0, 0), (0, sp_total - pf["key_mask"].shape[1])))
             kv = tuple(kv0)

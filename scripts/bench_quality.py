@@ -325,6 +325,18 @@ def run_decode_quality(args) -> dict:
     out["kv8_first_step_logit_max_abs"] = float(d.max())
     out["kv8_argmax_agrees"] = bool(
         (np.argmax(np.asarray(lg_kv8), -1) == np.argmax(lg_base, -1)).all())
+    del kv_q
+
+    # kv4: packed int4 prompt cache + its fused kernel, same weights
+    kv_q4 = jax.jit(lambda kv: llama_model.quantize_prompt_kv_list(
+        list(kv), kv_bits=4))(tuple(pf["kv_list"]))
+    lg_kv4, _ = dec(params, tuple(kv_q4), pf["key_mask"], tuple(suffix))
+    d = np.abs(np.asarray(lg_kv4, np.float64) - lg_base)
+    out["kv4_first_step_logit_mae"] = float(d.mean())
+    out["kv4_first_step_logit_max_abs"] = float(d.max())
+    out["kv4_argmax_agrees"] = bool(
+        (np.argmax(np.asarray(lg_kv4), -1) == np.argmax(lg_base, -1)).all())
+    del kv_q4
 
     # head4: int4 lm_head, same weights, bf16 KV
     p4 = dict(params)

@@ -304,6 +304,113 @@ def test_decode_attention_prompt_kernel_matches_reference():
             atol=1e-3, rtol=1e-3)
 
 
+def test_quantize_prompt_kv_int4_roundtrip_and_layout():
+    """Group-local half-split packing: dequantize(quantize_int4(kv))
+    recovers kv within the per-(pos,head) step size amax/7/2, padding is
+    256-aligned, and the scale layout matches the int8 cache's."""
+    from opadpo_tpu.models import llama as llama_model
+
+    rng = np.random.default_rng(2)
+    b, sp, h, hd = 2, 300, 4, 128
+    kv = jnp.asarray(rng.standard_normal((b, sp, h, hd)), jnp.float32)
+    q4 = llama_model.quantize_prompt_kv_int4(kv)
+    assert q4["q4"].shape == (b, h, 256, hd)          # 512-pad packed /2
+    assert q4["scale"].shape == (b, h, 512)
+    deq = llama_model.dequantize_prompt_kv_int4(q4)   # [B, H, 512, hd]
+    step = np.asarray(q4["scale"])[..., :sp, None]
+    err = np.abs(np.asarray(deq)[:, :, :sp]
+                 - np.asarray(kv.transpose(0, 2, 1, 3)))
+    assert np.all(err <= step / 2 + 1e-6), float((err - step / 2).max())
+    # padded positions carry scale 0 → dequantized zeros
+    assert np.all(np.asarray(deq)[:, :, sp:] == 0)
+
+    # preallocation at a chunked-decode total length
+    q4b = llama_model.quantize_prompt_kv_int4(kv, total_len=1024)
+    assert q4b["q4"].shape == (b, h, 512, hd)
+    np.testing.assert_array_equal(np.asarray(q4b["q4"][:, :, :128]),
+                                  np.asarray(q4["q4"][:, :, :128]))
+
+
+def test_decode_attention_prompt4_matches_reference():
+    """decode_attention_prompt4 (interpret mode) over the half-split
+    packed int4 cache matches a dense softmax reference built from the
+    dequantized cache — including multi-s-block and s_used paths."""
+    from opadpo_tpu.models import llama as llama_model
+    from opadpo_tpu.ops.decode_attention import decode_attention_prompt4
+
+    rng = np.random.default_rng(3)
+    b, h, hd = 2, 4, 128
+    for sp_pad, sp_real, block_s, s_used in ((512, 400, 1024, None),
+                                             (1024, 700, 256, None),
+                                             (1024, 700, 1024, 768)):
+        q = jnp.asarray(rng.standard_normal((b, h, hd)) * 0.4, jnp.float32)
+        kv_k = jnp.asarray(rng.standard_normal((b, sp_pad, h, hd)),
+                           jnp.float32)
+        kv_v = jnp.asarray(rng.standard_normal((b, sp_pad, h, hd)),
+                           jnp.float32)
+        pk = llama_model.quantize_prompt_kv_int4(kv_k)
+        pv = llama_model.quantize_prompt_kv_int4(kv_v)
+        bias_np = np.zeros((b, sp_pad), np.float32)
+        bias_np[:, sp_real:] = -1e30
+        bias_np[0, 5] = -1e30
+        bias = jnp.asarray(bias_np)
+        sm = hd ** -0.5
+
+        lim = s_used if s_used is not None else sp_pad
+        kd = llama_model.dequantize_prompt_kv_int4(pk)[:, :, :lim]
+        vd = llama_model.dequantize_prompt_kv_int4(pv)[:, :, :lim]
+        s = jnp.einsum("bhd,bhsd->bhs", q, kd) * sm + bias[:, None, :lim]
+        m_ref = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m_ref[..., None])
+        l_ref = jnp.sum(p, axis=-1)
+        o_ref = jnp.einsum("bhs,bhsd->bhd", p, vd)
+
+        o, m, l = decode_attention_prompt4(
+            q, pk["q4"], pk["scale"], pv["q4"], pv["scale"], bias, sm,
+            block_s=block_s, s_used=s_used)
+        np.testing.assert_allclose(
+            np.asarray(o / l[..., None]),
+            np.asarray(o_ref / l_ref[..., None]), atol=2e-2, rtol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(jnp.log(l) + m), np.asarray(jnp.log(l_ref) + m_ref),
+            atol=1e-3, rtol=1e-3)
+
+
+def test_fold_suffix_into_int4_prompt_kv():
+    """The in-place fold on the packed int4 cache equals re-quantizing
+    the concatenated sequence directly (256-aligned offsets)."""
+    from opadpo_tpu.models import llama as llama_model
+
+    rng = np.random.default_rng(4)
+    b, h, hd, c = 2, 3, 128, 256
+    sp0, total = 512, 1024
+    kv_prompt = jnp.asarray(rng.standard_normal((b, sp0, h, hd)),
+                            jnp.float32)
+    suffix = jnp.asarray(rng.standard_normal((b, c, h, hd)), jnp.float32)
+    pk = llama_model.quantize_prompt_kv_int4(kv_prompt, total_len=total)
+    kv_list = [(pk, jax.tree_util.tree_map(jnp.copy, pk))]
+    sfx = [(suffix, suffix)]
+    pm = (jax.lax.broadcasted_iota(jnp.int32, (b, total), 1)
+          < sp0).astype(jnp.int32)
+    filled = 200                                     # partial fill
+    new_kv, new_pm = llama_model.fold_suffix_into_prompt_kv(
+        kv_list, sfx, pm, jnp.asarray(filled), jnp.int32(sp0))
+
+    direct = llama_model.quantize_prompt_kv_int4(
+        jnp.concatenate([kv_prompt, suffix], axis=1), total_len=total)
+    got = new_kv[0][0]
+    np.testing.assert_array_equal(
+        np.asarray(got["q4"][:, :, :(sp0 + c) // 2]),
+        np.asarray(direct["q4"][:, :, :(sp0 + c) // 2]))
+    np.testing.assert_allclose(
+        np.asarray(got["scale"][:, :, :sp0 + c]),
+        np.asarray(direct["scale"][:, :, :sp0 + c]), rtol=1e-6)
+    # mask: true through sp0+filled, false beyond
+    exp_pm = (np.arange(total)[None] < sp0 + filled).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(new_pm),
+                                  np.broadcast_to(exp_pm, (b, total)))
+
+
 def test_decode_attention_prompt_head_count_not_divisible_by_16():
     """13B has 40 KV heads: hblk must fall back to a divisor of h (8), not
     assert out on min(16, 40).  Regression for the r2 advisor finding."""

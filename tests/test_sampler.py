@@ -198,6 +198,67 @@ def test_int8_prompt_kv_decode_matches_bf16():
     np.testing.assert_allclose(np.asarray(lg_q), np.asarray(lg_ref),
                                atol=0.05, rtol=0.05)
 
+def test_int4_prompt_kv_decode_matches_dequantized_reference():
+    """kv_bits=4 (packed int4 prompt-KV): one unrolled decode step through
+    the int4 kernel matches the bf16 decode path fed the DEQUANTIZED int4
+    cache (same values, kernel-vs-einsum math only → tight tolerance),
+    and greedy generate matches the kv16 tokens on the tiny f32 model."""
+    import dataclasses
+    from opadpo_tpu.engine.sampler import Sampler
+    from opadpo_tpu.models import llama as llama_model
+    cfg32 = LlavaConfig(
+        dataclasses.replace(CFG.llama, dtype=jnp.float32),
+        dataclasses.replace(CFG.vision, dtype=jnp.float32),
+        dataclasses.replace(CFG.projector, dtype=jnp.float32))
+    params32 = llava_model.init_params(jax.random.PRNGKey(0), cfg32)
+    ids, mask, images = _inputs()
+
+    up, _ = llava_model.unstack_for_decode(params32, None)
+    pf = llava_model.prefill_unrolled(up, cfg32, ids, mask, images)
+    kv4 = llama_model.quantize_prompt_kv_list(list(pf["kv_list"]),
+                                              kv_bits=4)
+    sp_pad = kv4[0][0]["scale"].shape[2]
+    # bf16-path reference cache: the same int4 values, dequantized back
+    # to the seq-major layout (padding trimmed; mask handles the rest)
+    kv_deq = [tuple(
+        llama_model.dequantize_prompt_kv_int4(c).transpose(0, 2, 1, 3)[
+            :, :pf["key_mask"].shape[1]]
+        for c in layer) for layer in kv4]
+    tok = jnp.full((ids.shape[0],), 7, jnp.int32)
+    step = jnp.zeros((), jnp.int32)
+    nkv, hd = cfg32.llama.num_kv_heads, cfg32.llama.head_dim
+    suffix = [(jnp.zeros((2, 4, nkv, hd), jnp.float32),
+               jnp.zeros((2, 4, nkv, hd), jnp.float32))
+              for _ in range(len(pf["kv_list"]))]
+    lg_ref, _ = llava_model.decode_step_unrolled(
+        up, cfg32, tok, kv_deq, pf["key_mask"],
+        list(suffix), step, pf["next_position"])
+    lg_q, _ = llava_model.decode_step_unrolled(
+        up, cfg32, tok, kv4, pf["key_mask"],
+        list(suffix), step, pf["next_position"])
+    np.testing.assert_allclose(np.asarray(lg_q), np.asarray(lg_ref),
+                               atol=2e-3, rtol=2e-3)
+    # s_used watermark (256-aligned) on the padded cache
+    if sp_pad > 256:
+        lg_w, _ = llava_model.decode_step_unrolled(
+            up, cfg32, tok, kv4, pf["key_mask"],
+            list(suffix), step, pf["next_position"], sp_used=256)
+        np.testing.assert_allclose(np.asarray(lg_w), np.asarray(lg_q),
+                                   atol=2e-3, rtol=2e-3)
+
+    # end-to-end greedy: int4 KV rounding does not flip argmax here
+    sampling = SamplingConfig(greedy=True, max_new_tokens=5,
+                              eos_token_id=-1)
+    ref = Sampler(cfg32, sampling).generate(
+        params32, ids, mask, images, jax.random.PRNGKey(0))
+    out = Sampler(cfg32, sampling, kv_bits=4).generate(
+        params32, ids, mask, images, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    out_c = Sampler(cfg32, sampling, kv_bits=4, chunk=256).generate(
+        params32, ids, mask, images, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(ref))
+
+
 def test_quantized_decode_head_logits_close():
     """head_bits 8/4: decode logits through the quantized lm_head stay
     close to the bf16 head (decode-only layout; quantize_head_for_decode)."""
