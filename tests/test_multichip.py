@@ -297,6 +297,8 @@ def test_tensor_parallel_sampler_decode_matches_singlechip():
         params, ids, mask, images, rng))
     ref8 = np.asarray(Sampler(cfg32, sampling, kv_bits=8).generate(
         params, ids, mask, images, rng))
+    ref4 = np.asarray(Sampler(cfg32, sampling, kv_bits=4).generate(
+        params, ids, mask, images, rng))
 
     mesh = make_mesh(MeshConfig(data=4, model=2))
     params_tp = shard_pytree(params, param_partition_specs(params, mesh),
@@ -310,11 +312,14 @@ def test_tensor_parallel_sampler_decode_matches_singlechip():
             params_tp, ids_s, mask_s, images_s, rng))
         out8 = np.asarray(Sampler(cfg32, sampling, kv_bits=8).generate(
             params_tp, ids_s, mask_s, images_s, rng))
+        out4 = np.asarray(Sampler(cfg32, sampling, kv_bits=4).generate(
+            params_tp, ids_s, mask_s, images_s, rng))
     finally:
         attn.set_tp_mesh(None)
 
     np.testing.assert_array_equal(out16, ref16)
     np.testing.assert_array_equal(out8, ref8)
+    np.testing.assert_array_equal(out4, ref4)
 
 
 def test_tensor_parallel_chunked_decode_fold():
