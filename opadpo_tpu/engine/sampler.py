@@ -264,9 +264,13 @@ class Sampler:
     ``kv_bits=8`` quantizes the prompt KV cache to int8 after prefill
     (``llama.quantize_prompt_kv``): decode is bandwidth-bound on the
     prompt-KV reads, so this trades ~0.4%% KV rounding error for halved
-    cache traffic.  Default 16 keeps the reference's bf16 cache.
+    cache traffic.  ``kv_bits=4`` packs two positions per byte
+    (``llama.quantize_prompt_kv_int4``) — cache memory halves again,
+    raising the decode batch ceiling; lengths/offsets (and ``chunk``)
+    must then be 256-multiples.  Default 16 keeps the reference's bf16
+    cache.
 
-    ``chunk`` (with ``kv_bits=8``) enables CHUNKED decode: every
+    ``chunk`` (with ``kv_bits=8|4``) enables CHUNKED decode: every
     ``chunk`` steps the bf16 suffix carry is re-quantized and folded
     into the int8 prompt cache, so the growing-suffix attention cost is
     bounded — full-length 896-step rollouts averaged 17.5 ms/step at
@@ -278,7 +282,7 @@ class Sampler:
     chip (B=16 fits in-place: 778 tok/s full-896 vs 627).  Decode
     programs read only to a static fill watermark (``sp_used``), one
     compile per chunk index (persistent-cached).  Must be a multiple of
-    128 (quantizer padding / watermark alignment).
+    128 for kv8 / 256 for kv4 (quantizer padding / watermark alignment).
     """
 
     def __init__(self, cfg: LlavaConfig, sampling: SamplingConfig,

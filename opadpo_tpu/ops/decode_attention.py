@@ -194,27 +194,20 @@ def _pick_sblk(sp: int, block_s: int, align: int) -> int:
     return align
 
 
-def decode_attention_prompt4(
-    q: jax.Array,          # [B, H, hd] (post-rope query for the new token)
-    pk_q4: jax.Array,      # [B, H, Sp_pad/2, hd] int8 (half-split packed)
-    k_scale: jax.Array,    # [B, H, Sp_pad] f32
-    pv_q4: jax.Array,      # [B, H, Sp_pad/2, hd] int8
-    v_scale: jax.Array,    # [B, H, Sp_pad] f32
-    bias: jax.Array,       # [B, Sp_pad] f32 additive (0 valid / -1e30)
-    sm_scale: float,
-    block_h: int = 16,
-    block_s: int = 1024,
-    s_used: int | None = None,
-    _local: bool = False,
-) -> tuple:
-    """int4-cache variant of ``decode_attention_prompt`` (same contract).
-    Lengths and ``s_used`` must be 256-multiples (the packed group size);
-    everything else — scales, mask bias, flash-state merge — is the int8
-    layout unchanged."""
+def _prompt_call(public_fn, kernel, pack: int, align: int,
+                 q, pk_q, k_scale, pv_q, v_scale, bias, sm_scale,
+                 block_h: int, block_s: int, s_used, _local: bool) -> tuple:
+    """Shared wrapper for the int8 (pack=1, align=128) and packed-int4
+    (pack=2, align=256) prompt-attention kernels: the TP shard_map path
+    and the pallas_call scaffolding are identical up to the packed S-dim
+    divisor and the length alignment — keep them single-sited so a
+    hardware tiling fix lands in both kernels at once.  ``public_fn`` is
+    re-entered with ``_local=True`` inside the shard_map (heads are local
+    under model-axis sharding — no collectives in the body)."""
     b, h, sp = k_scale.shape
-    assert pk_q4.shape[2] * 2 == sp, (pk_q4.shape, sp)
+    assert pk_q.shape[2] * pack == sp, (pk_q.shape, pack, sp)
     if s_used is not None:
-        assert 0 < s_used <= sp and s_used % 256 == 0, (s_used, sp)
+        assert 0 < s_used <= sp and s_used % align == 0, (s_used, sp, align)
         sp = s_used
 
     from opadpo_tpu.ops.attention import get_tp_mesh
@@ -232,113 +225,7 @@ def decode_attention_prompt4(
             kv_spec_p = P(DATA_AXIS, MODEL_AXIS, None, None)
             sc_spec_p = P(DATA_AXIS, MODEL_AXIS, None)
             fn = shard_map(
-                lambda q_, pk_, ks_, pv_, vs_, bi_:
-                decode_attention_prompt4(
-                    q_, pk_, ks_, pv_, vs_, bi_, sm_scale,
-                    block_h=block_h, block_s=block_s, s_used=s_used,
-                    _local=True),
-                mesh=mesh,
-                in_specs=(q_spec, kv_spec_p, sc_spec_p, kv_spec_p,
-                          sc_spec_p, P(DATA_AXIS, None)),
-                out_specs=(q_spec, P(DATA_AXIS, MODEL_AXIS),
-                           P(DATA_AXIS, MODEL_AXIS)),
-                check_vma=False,
-            )
-            return fn(q, pk_q4, k_scale, pv_q4, v_scale, bias)
-
-    hd = pk_q4.shape[3]
-    hblk = _pick_hblk(h, block_h)
-    sblk = _pick_sblk(sp, block_s, 256)
-    nsb = sp // sblk
-    grid = (b, h // hblk, nsb)
-
-    kv_spec = pl.BlockSpec((1, hblk, sblk // 2, hd),
-                           lambda b_, hb, kk: (b_, hb, kk, 0),
-                           memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((1, hblk, sblk),
-                           lambda b_, hb, kk: (b_, hb, kk),
-                           memory_space=pltpu.VMEM)
-    ml_spec = pl.BlockSpec((1, hblk, 1), lambda b_, hb, kk: (b_, hb, 0),
-                           memory_space=pltpu.SMEM)
-    out, m, l = pl.pallas_call(
-        functools.partial(_kernel4, hblk=hblk, nsb=nsb, sm_scale=sm_scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, hblk, hd), lambda b_, hb, kk: (b_, hb, 0),
-                         memory_space=pltpu.VMEM),
-            kv_spec, sc_spec, kv_spec, sc_spec,
-            pl.BlockSpec((1, 1, sblk), lambda b_, hb, kk: (b_, 0, kk),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, hblk, hd), lambda b_, hb, kk: (b_, hb, 0),
-                         memory_space=pltpu.VMEM),
-            ml_spec, ml_spec,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((hblk, hd), jnp.float32),
-            pltpu.SMEM((hblk,), jnp.float32),
-            pltpu.SMEM((hblk,), jnp.float32),
-        ],
-        interpret=jax.default_backend() != "tpu",
-    )(q, pk_q4, k_scale, pv_q4, v_scale, bias[:, None, :])
-    return out, m[:, :, 0], l[:, :, 0]
-
-
-def decode_attention_prompt(
-    q: jax.Array,          # [B, H, hd] (post-rope query for the new token)
-    pk_q: jax.Array,       # [B, H, Sp_pad, hd] int8
-    k_scale: jax.Array,    # [B, H, Sp_pad] f32
-    pv_q: jax.Array,       # [B, H, Sp_pad] int8
-    v_scale: jax.Array,    # [B, H, Sp_pad] f32
-    bias: jax.Array,       # [B, Sp_pad] f32 additive (0 valid / -1e30)
-    sm_scale: float,
-    block_h: int = 16,
-    block_s: int = 1024,
-    s_used: int | None = None,
-    _local: bool = False,
-) -> tuple:
-    """→ (out_unnormalized [B, H, hd] f32, m [B, H] f32, l [B, H] f32).
-
-    softmax(scores)·V over the prompt piece only, as flash state:
-    ``out / l`` after merging with the suffix piece (see
-    ``models/llama._decode_layer``).
-
-    ``s_used`` (static, 128-multiple) limits the grid to the first
-    ``s_used`` cache positions: chunked decode preallocates the cache at
-    final length and grows a static fill watermark instead of
-    reallocating — unfilled blocks are never read (their DMA would also
-    be wasted bandwidth; positions past the mask are −1e30 anyway)."""
-    b, h, sp, hd = pk_q.shape
-    if s_used is not None:
-        assert 0 < s_used <= sp and s_used % 128 == 0, (s_used, sp)
-        sp = s_used
-
-    # Under tensor parallelism the kernel runs inside a shard_map (pallas
-    # does not partition under GSPMD — same design as attention._flash_
-    # attention_tp): heads are local under model-axis head sharding, so
-    # each shard runs the local kernel with no collectives.
-    from opadpo_tpu.ops.attention import get_tp_mesh
-    mesh = None if _local else get_tp_mesh()
-    if mesh is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        from opadpo_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-
-        n_data = mesh.shape.get(DATA_AXIS, 1)
-        n_model = mesh.shape.get(MODEL_AXIS, 1)
-        if b % n_data == 0 and h % n_model == 0 and n_model > 1:
-            q_spec = P(DATA_AXIS, MODEL_AXIS, None)
-            kv_spec_p = P(DATA_AXIS, MODEL_AXIS, None, None)
-            sc_spec_p = P(DATA_AXIS, MODEL_AXIS, None)
-            fn = shard_map(
-                lambda q_, pk_, ks_, pv_, vs_, bi_: decode_attention_prompt(
+                lambda q_, pk_, ks_, pv_, vs_, bi_: public_fn(
                     q_, pk_, ks_, pv_, vs_, bi_, sm_scale,
                     block_h=block_h, block_s=block_s, s_used=s_used,
                     _local=True),
@@ -351,15 +238,16 @@ def decode_attention_prompt(
             )
             return fn(q, pk_q, k_scale, pv_q, v_scale, bias)
 
+    hd = pk_q.shape[3]
     hblk = _pick_hblk(h, block_h)
-    # largest divisor of sp that is a 128-multiple and fits the VMEM cap:
-    # a fixed candidate list degraded to 128-wide blocks on lengths like
-    # 896/1152 (chunked-decode growth steps), measured 15% slower
-    sblk = _pick_sblk(sp, block_s, 128)
+    # largest aligned divisor of sp that fits the VMEM cap: a fixed
+    # candidate list degraded to 128-wide blocks on lengths like 896/1152
+    # (chunked-decode growth steps), measured 15% slower
+    sblk = _pick_sblk(sp, block_s, align)
     nsb = sp // sblk
     grid = (b, h // hblk, nsb)
 
-    kv_spec = pl.BlockSpec((1, hblk, sblk, hd),
+    kv_spec = pl.BlockSpec((1, hblk, sblk // pack, hd),
                            lambda b_, hb, kk: (b_, hb, kk, 0),
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((1, hblk, sblk),
@@ -370,7 +258,7 @@ def decode_attention_prompt(
     ml_spec = pl.BlockSpec((1, hblk, 1), lambda b_, hb, kk: (b_, hb, 0),
                            memory_space=pltpu.SMEM)
     out, m, l = pl.pallas_call(
-        functools.partial(_kernel, hblk=hblk, nsb=nsb, sm_scale=sm_scale),
+        functools.partial(kernel, hblk=hblk, nsb=nsb, sm_scale=sm_scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, hblk, hd), lambda b_, hb, kk: (b_, hb, 0),
@@ -397,3 +285,59 @@ def decode_attention_prompt(
         interpret=jax.default_backend() != "tpu",
     )(q, pk_q, k_scale, pv_q, v_scale, bias[:, None, :])
     return out, m[:, :, 0], l[:, :, 0]
+
+
+def decode_attention_prompt(
+    q: jax.Array,          # [B, H, hd] (post-rope query for the new token)
+    pk_q: jax.Array,       # [B, H, Sp_pad, hd] int8
+    k_scale: jax.Array,    # [B, H, Sp_pad] f32
+    pv_q: jax.Array,       # [B, H, Sp_pad, hd] int8
+    v_scale: jax.Array,    # [B, H, Sp_pad] f32
+    bias: jax.Array,       # [B, Sp_pad] f32 additive (0 valid / -1e30)
+    sm_scale: float,
+    block_h: int = 16,
+    block_s: int = 1024,
+    s_used: int | None = None,
+    _local: bool = False,
+) -> tuple:
+    """→ (out_unnormalized [B, H, hd] f32, m [B, H] f32, l [B, H] f32).
+
+    softmax(scores)·V over the prompt piece only, as flash state:
+    ``out / l`` after merging with the suffix piece (see
+    ``models/llama._decode_layer``).
+
+    ``s_used`` (static, 128-multiple) limits the grid to the first
+    ``s_used`` cache positions: chunked decode preallocates the cache at
+    final length and grows a static fill watermark instead of
+    reallocating — unfilled blocks are never read (their DMA would also
+    be wasted bandwidth; positions past the mask are −1e30 anyway).
+
+    Under tensor parallelism the kernel runs inside a shard_map (pallas
+    does not partition under GSPMD — same design as attention._flash_
+    attention_tp): heads are local under model-axis head sharding, so
+    each shard runs the local kernel with no collectives."""
+    return _prompt_call(decode_attention_prompt, _kernel, 1, 128,
+                        q, pk_q, k_scale, pv_q, v_scale, bias, sm_scale,
+                        block_h, block_s, s_used, _local)
+
+
+def decode_attention_prompt4(
+    q: jax.Array,          # [B, H, hd] (post-rope query for the new token)
+    pk_q4: jax.Array,      # [B, H, Sp_pad/2, hd] int8 (half-split packed)
+    k_scale: jax.Array,    # [B, H, Sp_pad] f32
+    pv_q4: jax.Array,      # [B, H, Sp_pad/2, hd] int8
+    v_scale: jax.Array,    # [B, H, Sp_pad] f32
+    bias: jax.Array,       # [B, Sp_pad] f32 additive (0 valid / -1e30)
+    sm_scale: float,
+    block_h: int = 16,
+    block_s: int = 1024,
+    s_used: int | None = None,
+    _local: bool = False,
+) -> tuple:
+    """int4-cache variant of ``decode_attention_prompt`` (same contract).
+    Lengths and ``s_used`` must be 256-multiples (the packed group size);
+    everything else — scales, mask bias, flash-state merge — is the int8
+    layout unchanged."""
+    return _prompt_call(decode_attention_prompt4, _kernel4, 2, 256,
+                        q, pk_q4, k_scale, pv_q4, v_scale, bias, sm_scale,
+                        block_h, block_s, s_used, _local)

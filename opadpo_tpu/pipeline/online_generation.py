@@ -202,6 +202,11 @@ def run(cfg: Config) -> None:
     slots = int(t.get("continuous_slots", 0))
     if slots:
         from opadpo_tpu.engine.continuous import ContinuousEngine
+        if int(t.get("kv_bits", 16)) == 4:
+            raise ValueError(
+                "continuous_slots uses the int8 KV cache (per-row fold "
+                "offsets are not 256-aligned); kv_bits: 4 applies to the "
+                "batch sampler only — drop one of the two settings")
         engine = ContinuousEngine(
             llava_cfg, sampling, params, lora=lora,
             lora_scaling=lora_scaling, max_batch=slots, qlen=query_len,

@@ -277,7 +277,9 @@ def main():
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8, 4),
-                   help="int8 prompt-KV cache + fused decode-attention")
+                   help="quantized prompt-KV cache (8 = int8, 4 = packed "
+                        "int4) + fused decode-attention kernel; batch "
+                        "mode only — the continuous engine is int8")
     p.add_argument("--head-bits", type=int, default=16, choices=(16, 4),
                    help="int4 lm_head during decode")
     p.add_argument("--decode-chunk", type=int, default=0,
@@ -314,6 +316,13 @@ def main():
         scaling = acfg["lora_alpha"] / acfg["r"]
 
     if args.continuous:
+        if args.kv_bits == 4:
+            # the slot-pool engine folds rows at ARBITRARY per-row offsets
+            # — the packed int4 cache needs 256-aligned offsets, so it is
+            # batch-mode only.  Fail loudly rather than silently serving
+            # int8 (a user sizing slots for the int4 ceiling would OOM).
+            raise SystemExit("--continuous uses the int8 KV cache; "
+                             "--kv-bits 4 is batch-mode only")
         worker = ContinuousWorker(params, cfg, tokenizer, lora=lora,
                                   lora_scaling=scaling,
                                   max_batch=args.max_batch,

@@ -43,8 +43,8 @@ def main():
                    choices=("sort", "approx"))
     p.add_argument("--kv-extra", type=int, default=0,
                    help="A/B probe: preallocate this many EXTRA unused "
-                        "128-multiples of cache length beyond the chunked "
-                        "final length (identical work, longer physical "
+                        "alignment-multiples (128 kv8 / 256 kv4) of cache "
+                        "length beyond the chunked final length (identical work, longer physical "
                         "arrays — isolates the cost of reading a prefix "
                         "of a bigger buffer)")
     args = p.parse_args()
@@ -88,7 +88,7 @@ def main():
     kv_total = None
     if args.chunk:
         kv_total = sp_pad0 + (-(-args.steps // args.chunk) - 1) * args.chunk \
-            + args.kv_extra * 128
+            + args.kv_extra * align
     pf_fn = jax.jit(lambda p, q, m, im: llava_model.prefill_unrolled(
         p, cfg, q, m, im, quantize_kv=(args.kv_bits in (8, 4)),
         kv_total_len=kv_total, kv_bits=args.kv_bits))
