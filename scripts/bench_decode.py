@@ -38,9 +38,18 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--steps", type=int, default=128)
     p.add_argument("--query-len", type=int, default=128)
-    p.add_argument("--model", default="7b", choices=("7b", "13b"))
+    p.add_argument("--model", default="7b", choices=("7b", "13b", "tiny"))
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (\"cpu\" + --model tiny "
+                        "validates the script without the chip)")
     p.add_argument("--topk-impl", default="sort",
                    choices=("sort", "approx"))
+    p.add_argument("--probe-memory", action="store_true",
+                   help="compile the prefill/chunk/fold programs WITHOUT "
+                        "executing (no device buffers at all) and print "
+                        "XLA's HBM budget — run this before any new "
+                        "(model, kv-bits, batch) point; runtime OOMs "
+                        "wedge the TPU service (CLAUDE.md)")
     p.add_argument("--kv-extra", type=int, default=0,
                    help="A/B probe: preallocate this many EXTRA unused "
                         "alignment-multiples (128 kv8 / 256 kv4) of cache "
@@ -48,6 +57,8 @@ def main():
                         "arrays — isolates the cost of reading a prefix "
                         "of a bigger buffer)")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
     from opadpo_tpu.engine.sampler import decode_loop_unrolled
@@ -56,8 +67,9 @@ def main():
     from opadpo_tpu.models import llava as llava_model
     from opadpo_tpu.ops import quant
 
-    cfg = (llava_model.LlavaConfig.llava_13b() if args.model == "13b"
-           else llava_model.LlavaConfig.llava_7b())
+    cfg = {"7b": llava_model.LlavaConfig.llava_7b,
+           "13b": llava_model.LlavaConfig.llava_13b,
+           "tiny": llava_model.LlavaConfig.tiny}[args.model]()
     b = args.batch
 
     def build():
@@ -69,15 +81,20 @@ def main():
         return {**params, "llama": llama_model.unstack_layers(llama)}
 
     shapes = jax.eval_shape(build)
-    params = jax.jit(lambda: jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
-    print(f"params ready (bits={args.bits})", flush=True)
+    if args.probe_memory:
+        params = shapes          # ShapeDtypeStructs: lower-only, no HBM
+    else:
+        params = jax.jit(lambda: jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
+        print(f"params ready (bits={args.bits})", flush=True)
 
     rng = np.random.default_rng(0)
-    q = rng.integers(5, 32000, (b, args.query_len)).astype(np.int32)
+    q = rng.integers(5, cfg.llama.vocab_size,
+                     (b, args.query_len)).astype(np.int32)
     q[:, 1] = IMAGE_TOKEN_INDEX
     qm = np.ones_like(q)
-    images = jnp.zeros((b, 336, 336, 3), jnp.bfloat16)
+    sz = cfg.vision.image_size
+    images = jnp.zeros((b, sz, sz, 3), jnp.bfloat16)
 
     # kv8: quantize inside prefill so the bf16 cache never hits HBM as a
     # program output (it set the decode-batch memory ceiling); chunked:
@@ -92,6 +109,49 @@ def main():
     pf_fn = jax.jit(lambda p, q, m, im: llava_model.prefill_unrolled(
         p, cfg, q, m, im, quantize_kv=(args.kv_bits in (8, 4)),
         kv_total_len=kv_total, kv_bits=args.kv_bits))
+
+    if args.probe_memory:
+        import bench_train
+        from opadpo_tpu.engine.sampler import decode_loop_unrolled as dlu
+        sds = jax.ShapeDtypeStruct
+        q_s = sds(q.shape, jnp.int32)
+        m_s = sds(qm.shape, jnp.int32)
+        im_s = sds((b, sz, sz, 3), jnp.bfloat16)
+        bench_train.probe_memory("prefill", pf_fn, params, q_s, m_s, im_s)
+        pf_sh = jax.eval_shape(pf_fn, params, q_s, m_s, im_s)
+        sampling_p = SamplingConfig(
+            max_new_tokens=args.steps, temperature=1.0, top_k=30,
+            top_p=0.95, eos_token_id=-1, pad_token_id=0,
+            topk_impl=args.topk_impl)
+        cdef = args.chunk or args.steps
+        chunk_fn_p = jax.jit(
+            lambda p, kv, pm, pos, ll, r, d0, n, su: dlu(
+                p, cfg, list(kv), pm, pos, ll, r, sampling_p,
+                done_init=d0, max_new=n, return_state=True, sp_used=su),
+            static_argnums=(7, 8))
+        sp_total = pf_sh["kv_list"][0][0]["scale"].shape[2] \
+            if isinstance(pf_sh["kv_list"][0][0], dict) \
+            else pf_sh["kv_list"][0][0].shape[1]
+        probe_args = (params, tuple(pf_sh["kv_list"]),
+                      sds((b, sp_total), jnp.int32), sds((b,), jnp.int32),
+                      pf_sh["last_logits"], jax.random.PRNGKey(0),
+                      sds((b,), jnp.bool_), min(cdef, args.steps),
+                      sp_pad0 if args.chunk else None)
+        compiled = bench_train.probe_memory("decode_chunk0", chunk_fn_p,
+                                            *probe_args)
+        if args.chunk and args.steps > args.chunk:
+            st_sh = jax.eval_shape(chunk_fn_p, *probe_args)[1]
+            fold_fn_p = jax.jit(
+                lambda kv, sfx, pm, filled, off:
+                llama_model.fold_suffix_into_prompt_kv(
+                    list(kv), list(sfx), pm, filled, off),
+                donate_argnums=(0, 1, 2))
+            bench_train.probe_memory(
+                "fold", fold_fn_p, tuple(pf_sh["kv_list"]),
+                st_sh["suffix"], sds((b, sp_total), jnp.int32),
+                sds((), jnp.int32), sds((), jnp.int32))
+        return
+
     pf = pf_fn(params, jnp.asarray(q), jnp.asarray(qm), images)
     _ = float(jnp.sum(pf["last_logits"]))
     print("prefill done", flush=True)
