@@ -91,12 +91,26 @@ def run_inference(
     kv_bits: int = 16,
     head_bits: int = 16,
     decode_chunk: int = 0,
+    continuous_slots: int = 0,
+    seg_len: int = 64,
 ) -> None:
     sampling = SamplingConfig(
         greedy=(temperature == 0.0), temperature=max(temperature, 1e-4),
         eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id,
         max_new_tokens=max_new_tokens)
+
+    if continuous_slots:
+        # slot-pool scheduling across questions: generative benchmarks
+        # (AMBER/MMHal/LLaVA-Bench) have wildly variable answer lengths,
+        # so batch-sync decode pays every batch's max while the pool
+        # refills finished slots between segments.  Uses the engine's
+        # int8 KV cache (kv8 argmax measured stable, QUALITY_r03.json).
+        return _run_inference_continuous(
+            params, cfg, tokenizer, questions, image_dir, answers_file,
+            lora=lora, lora_scaling=lora_scaling, slots=continuous_slots,
+            seg_len=seg_len, sampling=sampling, short_eval=short_eval,
+            query_len=query_len, model_id=model_id, head_bits=head_bits)
 
     sampler = Sampler(cfg, sampling, lora_scaling=lora_scaling,
                       kv_bits=kv_bits, head_bits=head_bits,
@@ -162,6 +176,74 @@ def run_inference(
                   f"{len(chunk)} answers in {dt:.1f}s", flush=True)
 
 
+def _run_inference_continuous(
+    params, cfg, tokenizer, questions, image_dir, answers_file, *,
+    lora, lora_scaling, slots, seg_len, sampling, short_eval, query_len,
+    model_id, head_bits,
+) -> None:
+    """Drive all questions through the slot-pool engine: images load
+    lazily at admission (the whole question set's pixels never sit in
+    host RAM at once) and answers are buffered, then written in the
+    original question order (scorers that zip answers with labels by
+    line order stay correct)."""
+    from opadpo_tpu.engine.continuous import ContinuousEngine
+
+    rows = []
+    for q in questions:
+        prompt = build_prompt(q["text"], short_eval)
+        rows.append(np.asarray(tokenizer_image_token(prompt, tokenizer),
+                               np.int32))
+    longest = max((len(r) for r in rows), default=query_len)
+    qlen = max(query_len, -(-longest // 64) * 64)
+
+    prep = Sampler(cfg, sampling, lora_scaling=lora_scaling,
+                   kv_bits=8, head_bits=head_bits)
+    params, lora = prep.prepare_params(params, lora)
+    eng = ContinuousEngine(cfg, sampling, params, lora=lora,
+                           lora_scaling=lora_scaling, max_batch=slots,
+                           qlen=qlen, seg_len=seg_len)
+
+    img_size = cfg.vision.image_size
+    rid_to_idx: Dict[int, int] = {}
+    answers: Dict[int, str] = {}
+    next_q = 0
+    t0 = time.time()
+    while next_q < len(questions) or eng.has_work():
+        # keep one admission wave queued ahead of the decode segments
+        while next_q < len(questions) and len(eng._queue) < slots:
+            q = questions[next_q]
+            img = load_image(q["image"], image_dir)
+            rid = eng.add_request(rows[next_q],
+                                  np.ones_like(rows[next_q]),
+                                  clip_preprocess(img, size=img_size))
+            rid_to_idx[rid] = next_q
+            next_q += 1
+        for rid, toks in eng.step():
+            text = tokenizer.batch_decode(toks[None],
+                                          skip_special_tokens=True)[0]
+            answers[rid_to_idx[rid]] = text.strip()
+            n_done = len(answers)
+            if n_done % 50 == 0 or n_done == len(questions):
+                print(f"[{n_done}/{len(questions)}] "
+                      f"{time.time() - t0:.1f}s", flush=True)
+    assert len(answers) == len(questions), (len(answers), len(questions))
+
+    os.makedirs(os.path.dirname(answers_file) or ".", exist_ok=True)
+    with open(answers_file, "w") as out_f:
+        for i, q in enumerate(questions):
+            rec = {
+                "question_id": q["question_id"],
+                "prompt": q["text"],
+                "text": answers[i],
+                "answer_id": uuid.uuid4().hex[:22],
+                "model_id": model_id,
+                "metadata": {},
+            }
+            if "meta" in q:
+                rec["meta"] = q["meta"]
+            out_f.write(json.dumps(rec) + "\n")
+
+
 def main():
     p = argparse.ArgumentParser(description="benchmark inference (TPU)")
     p.add_argument("--model-path", required=True)
@@ -179,6 +261,12 @@ def main():
     p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8, 4))
     p.add_argument("--head-bits", type=int, default=16, choices=(16, 8, 4))
     p.add_argument("--decode-chunk", type=int, default=0)
+    p.add_argument("--continuous-slots", type=int, default=0,
+                   help="slot-pool scheduling across questions (int8 KV): "
+                        "finished answers free their slot immediately — "
+                        "wins on variable-length generative benchmarks")
+    p.add_argument("--seg-len", type=int, default=64,
+                   help="continuous mode: decode steps per segment")
     p.add_argument("--visual-tokens", type=int, default=0,
                    help="training-free visual-token pruning: keep only "
                         "the top-K projected patches (0 = all 576, "
@@ -212,7 +300,9 @@ def main():
                   max_new_tokens=args.max_new_tokens,
                   temperature=args.temperature, short_eval=args.short_eval,
                   kv_bits=args.kv_bits, head_bits=args.head_bits,
-                  decode_chunk=args.decode_chunk)
+                  decode_chunk=args.decode_chunk,
+                  continuous_slots=args.continuous_slots,
+                  seg_len=args.seg_len)
 
 
 if __name__ == "__main__":

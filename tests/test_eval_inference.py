@@ -49,3 +49,50 @@ def test_run_inference_pope_roundtrip(tmp_path):
     metrics = evaluate_pope_files(str(answers), str(qfile))
     assert metrics["num_examples"] == 5
     assert 0.0 <= metrics["accuracy"] <= 1.0
+
+
+def test_continuous_inference_matches_batch(tmp_path):
+    """--continuous-slots routes eval through the slot-pool engine: the
+    answers must match the batch-sync sampler's per question (f32 tiny
+    model so int8-KV rounding cannot flip the near-uniform argmax)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg32 = LlavaConfig(
+        dataclasses.replace(CFG.llama, dtype=jnp.float32),
+        dataclasses.replace(CFG.vision, dtype=jnp.float32),
+        dataclasses.replace(CFG.projector, dtype=jnp.float32))
+    params32 = llava_model.init_params(jax.random.PRNGKey(0), cfg32)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    qfile = tmp_path / "q.jsonl"
+    with open(qfile, "w") as f:
+        for i in range(5):
+            name = f"img{i}.png"
+            Image.fromarray(rng.integers(0, 255, (30, 40, 3),
+                                         dtype=np.uint8)).save(img_dir / name)
+            f.write(json.dumps({
+                "question_id": i, "image": name,
+                "text": f"Describe object number {i}.",
+            }) + "\n")
+    questions = list(iter_jsonl_questions(str(qfile)))
+
+    a_batch = tmp_path / "batch.jsonl"
+    run_inference(params32, cfg32, FakeTokenizer(), questions,
+                  str(img_dir), str(a_batch), batch_size=2,
+                  max_new_tokens=4, temperature=0.0, query_len=64,
+                  kv_bits=8)
+    a_cont = tmp_path / "cont.jsonl"
+    run_inference(params32, cfg32, FakeTokenizer(), questions,
+                  str(img_dir), str(a_cont), batch_size=2,
+                  max_new_tokens=4, temperature=0.0, query_len=64,
+                  continuous_slots=2, seg_len=2)
+
+    by_id = lambda p: {r["question_id"]: r["text"]
+                       for r in map(json.loads, open(p))}
+    got, ref = by_id(a_cont), by_id(a_batch)
+    assert set(got) == set(ref) == set(range(5))
+    assert got == ref, (got, ref)
