@@ -30,6 +30,9 @@ def main():
                    default=["pope", "amber", "mmhal", "llava_bench",
                             "objhal"])
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--continuous-slots", type=int, default=0,
+                   help="slot-pool scheduling across questions "
+                        "(model_vqa --continuous-slots; int8 KV)")
     p.add_argument("--judge", action="store_true",
                    help="run GPT-4 judge stages (needs API_KEY)")
     args = p.parse_args()
@@ -53,7 +56,8 @@ def main():
     def infer(questions, answers_file, **kw):
         mv.run_inference(params, cfg, tokenizer, questions, args.image_root,
                          answers_file, lora=lora, lora_scaling=scaling,
-                         batch_size=args.batch_size, **kw)
+                         batch_size=args.batch_size,
+                         continuous_slots=args.continuous_slots, **kw)
 
     results = {}
 
