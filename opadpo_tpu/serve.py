@@ -8,9 +8,14 @@ donated-cache decode), with the int8 base option for memory headroom.
     python -m opadpo_tpu.serve --model-path <ckpt> [--adapter-path <dir>]
         [--port 8400] [--bits 8]
 
-POST /v1/generate  {"prompt": "...", "image_b64": "...", "max_new_tokens": N,
-                    "temperature": t, "top_k": k, "top_p": p}
+POST /v1/generate  {"prompt": "...", "image_b64": "...",
+                    "max_new_tokens": N}   # N caps THIS request (≤ server max)
 GET  /healthz
+
+Sampling (greedy by default; --temperature/--top-k/--top-p set a
+server-level sampled mode) is per-SERVER, not per-request: every request
+in a micro-batch / slot pool rides one compiled program, so the sampling
+config is baked at startup.
 """
 
 from __future__ import annotations
@@ -37,7 +42,8 @@ class InferenceWorker:
                  lora_scaling: float = 1.0, max_batch: int = 8,
                  max_new_tokens: int = 512, batch_window_s: float = 0.02,
                  kv_bits: int = 16, head_bits: int = 16,
-                 decode_chunk: int = 0):
+                 decode_chunk: int = 0, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 1.0):
         from opadpo_tpu.engine.sampler import Sampler
         from opadpo_tpu.engine.sampling import SamplingConfig
 
@@ -49,7 +55,9 @@ class InferenceWorker:
         self.batch_window_s = batch_window_s
         self.queue: "queue.Queue" = queue.Queue()
         self.sampling = SamplingConfig(
-            greedy=True, max_new_tokens=max_new_tokens,
+            greedy=(temperature == 0.0),
+            temperature=max(temperature, 1e-4), top_k=top_k, top_p=top_p,
+            max_new_tokens=max_new_tokens,
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id)
         self.sampler = Sampler(cfg, self.sampling, lora_scaling=lora_scaling,
@@ -125,8 +133,14 @@ class InferenceWorker:
             jnp.asarray(images), sub, lora=self.lora))
         tokens = truncate_after_tokens(tokens, self.tokenizer.eos_token_id,
                                        self.tokenizer.pad_token_id)
-        texts = self.tokenizer.batch_decode(tokens,
-                                            skip_special_tokens=True)
+        # per-request max_new_tokens: the batch decodes to the server max
+        # in one program; each row is cut to ITS requested budget here
+        rows_out = []
+        for i, s in enumerate(slots):
+            mn = s["request"].get("max_new_tokens")
+            rows_out.append(tokens[i][:mn] if mn else tokens[i])
+        texts = [self.tokenizer.decode(r, skip_special_tokens=True)
+                 for r in rows_out]
         dt = time.time() - t0
         for i, s in enumerate(slots):
             s["response"] = {"text": texts[i].strip(),
@@ -144,7 +158,9 @@ class ContinuousWorker:
     def __init__(self, params, cfg, tokenizer, lora=None,
                  lora_scaling: float = 1.0, max_batch: int = 8,
                  max_new_tokens: int = 512, seg_len: int = 64,
-                 head_bits: int = 16, max_admit_group: int = 4):
+                 head_bits: int = 16, max_admit_group: int = 4,
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0):
         from opadpo_tpu.engine.continuous import ContinuousEngine
         from opadpo_tpu.engine.sampler import Sampler
         from opadpo_tpu.engine.sampling import SamplingConfig
@@ -152,7 +168,9 @@ class ContinuousWorker:
         self.tokenizer = tokenizer
         self.cfg = cfg
         self.sampling = SamplingConfig(
-            greedy=True, max_new_tokens=max_new_tokens,
+            greedy=(temperature == 0.0),
+            temperature=max(temperature, 1e-4), top_k=top_k, top_p=top_p,
+            max_new_tokens=max_new_tokens,
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id)
         prep = Sampler(cfg, self.sampling, lora_scaling=lora_scaling,
@@ -276,6 +294,11 @@ def main():
     p.add_argument("--bits", type=int, default=16, choices=(16, 8, 4))
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=512)
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="0 = greedy (default); >0 = sampled decoding "
+                        "(server-level — one compiled program)")
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--kv-bits", type=int, default=16, choices=(16, 8, 4),
                    help="quantized prompt-KV cache (8 = int8, 4 = packed "
                         "int4) + fused decode-attention kernel; batch "
@@ -329,7 +352,9 @@ def main():
                                   max_new_tokens=args.max_new_tokens,
                                   seg_len=args.seg_len,
                                   head_bits=args.head_bits,
-                                  max_admit_group=args.admit_group)
+                                  max_admit_group=args.admit_group,
+                                  temperature=args.temperature,
+                                  top_k=args.top_k, top_p=args.top_p)
     else:
         worker = InferenceWorker(params, cfg, tokenizer, lora=lora,
                                  lora_scaling=scaling,
@@ -337,7 +362,9 @@ def main():
                                  max_new_tokens=args.max_new_tokens,
                                  kv_bits=args.kv_bits,
                                  head_bits=args.head_bits,
-                                 decode_chunk=args.decode_chunk)
+                                 decode_chunk=args.decode_chunk,
+                                 temperature=args.temperature,
+                                 top_k=args.top_k, top_p=args.top_p)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(worker))
     print(f"serving on :{args.port}")

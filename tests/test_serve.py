@@ -33,6 +33,15 @@ def test_worker_and_http_roundtrip():
                           "image_b64": _png_b64()})
     assert "text" in resp and "error" not in resp
 
+    # per-request max_new_tokens caps THIS request below the server max:
+    # the 1-token answer must be a prefix of the 4-token one
+    short = worker.submit({"prompt": "what is this?",
+                           "image_b64": _png_b64(),
+                           "max_new_tokens": 1})
+    assert "error" not in short
+    assert resp["text"].startswith(short["text"]), (short, resp)
+    assert len(short["text"].split()) <= len(resp["text"].split())
+
     from http.server import ThreadingHTTPServer
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
     threading.Thread(target=server.serve_forever, daemon=True).start()
