@@ -23,11 +23,17 @@ under XLA's static-shape rules:
   pool; finished/free rows ride along masked by ``done`` (they emit pads
   and their logits are ignored).  One compiled program for every segment
   (the prompt-read watermark ``sp_used`` is bucketed to limit recompiles).
-- FOLD: each row's new tokens are re-quantized and folded into the int8
-  cache at that row's OWN fill offset — rows are at different lengths, so
+- FOLD: each row's new tokens are re-quantized and folded into the cache
+  at that row's OWN fill offset — rows are at different lengths, so
   unlike the rollout sampler's shared static offset this fold gathers the
   suffix through per-row indices (one ``take_along_axis`` + ``where`` per
   tensor; a full cache rewrite, amortized over ``seg_len`` steps).
+- ``kv_bits=4`` packs the pool cache (llama.quantize_prompt_kv_int4):
+  half the HBM per slot → up to 2x the slots.  The per-row fold rebuilds
+  each packed byte nibble-wise (old nibble outside the row's write
+  window, gathered new int4 value inside), so per-row offsets stay
+  ARBITRARY — no alignment constraint, unlike the batch sampler's DUS
+  fold.
 
 Rope positions, attention masks, and EOS handling are all per-row
 already (the rollout sampler needs them for ragged prompts), which is
@@ -93,6 +99,66 @@ def fold_suffix_per_row(kv_list: list, suffix_list: list,
     return new_kv, new_pm
 
 
+def fold_suffix_per_row_int4(kv_list: list, suffix_list: list,
+                             pm: jax.Array,        # [B, S_total]
+                             row_len: jax.Array,   # [B]
+                             n_valid: jax.Array) -> tuple:
+    """Per-row fold into the PACKED int4 cache.  Unlike the shared-offset
+    DUS fold (which needs 256-aligned offsets), this rebuilds every packed
+    byte elementwise — old nibble where the position is outside the row's
+    write window, gathered new int4 value inside it — so per-row offsets
+    can be ARBITRARY: packed byte j2 of group g holds positions
+    ``g*256 + (j2%128)`` (low) and ``+128`` (high), and each nibble is
+    selected independently.  One unpack+repack pass over the cache per
+    fold, amortized over the segment."""
+    b, s_total = pm.shape
+    nseg = suffix_list[0][0].shape[1]
+
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (b, s_total // 2), 1)
+    p_lo = (j2 // 128) * 256 + (j2 % 128)
+    p_hi = p_lo + 128
+    j = jax.lax.broadcasted_iota(jnp.int32, (b, s_total), 1)
+
+    def win(pos):
+        idx = pos - row_len[:, None]
+        return jnp.clip(idx, 0, nseg - 1), \
+            jnp.logical_and(idx >= 0, idx < n_valid[:, None])
+
+    i_lo, in_lo = win(p_lo)
+    i_hi, in_hi = win(p_hi)
+    i_sc, in_sc = win(j)
+
+    new_kv = []
+    for (pk, pv), (sk, sv) in zip(kv_list, suffix_list):
+        row = []
+        for pc, sc in ((pk, sk), (pv, sv)):
+            qc = llama_model.quantize_prompt_kv_int4_values(sc)
+            h, hd = qc["qv"].shape[1], qc["qv"].shape[3]
+
+            def gather_vals(i_pos):
+                gi = jnp.broadcast_to(i_pos[:, None, :, None],
+                                      (b, h, s_total // 2, hd))
+                return jnp.take_along_axis(qc["qv"], gi, axis=2)
+
+            p32 = pc["q4"].astype(jnp.int32)
+            old_lo = ((p32 & 0xF) ^ 8) - 8
+            old_hi = p32 >> 4
+            new_lo = jnp.where(in_lo[:, None, :, None],
+                               gather_vals(i_lo), old_lo)
+            new_hi = jnp.where(in_hi[:, None, :, None],
+                               gather_vals(i_hi), old_hi)
+            packed = (new_hi * 16 + (new_lo & 0xF)).astype(jnp.int8)
+
+            gs = jnp.take_along_axis(qc["scale"], i_sc[:, None, :], axis=2)
+            row.append({
+                "q4": packed,
+                "scale": jnp.where(in_sc[:, None, :], gs, pc["scale"]),
+            })
+        new_kv.append(tuple(row))
+    new_pm = jnp.where(in_sc, jnp.ones_like(pm), pm)
+    return new_kv, new_pm
+
+
 @dataclasses.dataclass
 class _Slot:
     request_id: int
@@ -122,7 +188,7 @@ class ContinuousEngine:
                  params: dict, lora: Optional[dict] = None,
                  lora_scaling: float = 1.0, max_batch: int = 8,
                  qlen: int = 128, seg_len: int = 64, su_bucket: int = 256,
-                 max_admit_group: int = 4,
+                 max_admit_group: int = 4, kv_bits: int = 8,
                  rng: Optional[jax.Array] = None):
         assert "layer_list" in params.get("llama", {}), \
             "params must be in decode layout (Sampler.prepare_params)"
@@ -134,7 +200,13 @@ class ContinuousEngine:
         self.b = max_batch
         self.qlen = qlen
         self.seg_len = seg_len
-        self.su_bucket = max(128, (su_bucket // 128) * 128)
+        assert kv_bits in (8, 4), kv_bits
+        self.kv_bits = kv_bits
+        # int4 cache: the decode kernel's watermark must be 256-aligned
+        # (packed group size); the per-row GATHER fold itself needs no
+        # alignment — it rebuilds packed bytes nibble-wise
+        a = 256 if kv_bits == 4 else 128
+        self.su_bucket = max(a, (su_bucket // a) * a)
         # cap on the admission prefill batch: a B=k prefill's activation
         # + kv_list peak coexists with the full slot-pool cache, so large
         # models (13B int4) should cap this at 1-2 to keep HBM headroom
@@ -144,7 +216,7 @@ class ContinuousEngine:
 
         self.sp_splice = qlen - 1 + cfg.num_patches
         self.s_total = -(-(self.sp_splice + sampling.max_new_tokens)
-                         // 128) * 128
+                         // a) * a
         self._queue: List[Tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
         self._slots: List[Optional[_Slot]] = [None] * self.b
         self._next_id = 0
@@ -153,7 +225,7 @@ class ContinuousEngine:
         self._prefill_fn = jax.jit(
             lambda p, lo, q, m, im: llava_model.prefill_unrolled(
                 p, cfg, q, m, im, lora=lo, lora_scaling=lora_scaling,
-                quantize_kv=True))
+                quantize_kv=True, kv_bits=kv_bits))
         self._seg_fn = jax.jit(
             lambda p, lo, kv, pm, pos, ll, r, d0, n, su:
             decode_loop_unrolled(
@@ -161,8 +233,10 @@ class ContinuousEngine:
                 lora_scaling=lora_scaling, done_init=d0, max_new=n,
                 return_state=True, sp_used=su),
             static_argnums=(8, 9))
+        fold = (fold_suffix_per_row if kv_bits == 8
+                else fold_suffix_per_row_int4)
         self._fold_fn = jax.jit(
-            lambda kv, sfx, pm, rl, nv: fold_suffix_per_row(
+            lambda kv, sfx, pm, rl, nv: fold(
                 list(kv), list(sfx), pm, rl, nv),
             donate_argnums=(0, 2))
         self._admit_fn = jax.jit(self._admit_impl,
@@ -202,9 +276,11 @@ class ContinuousEngine:
         def mk():
             kv = []
             for pk, pv in row_kv:
-                h, hd = pk["q"].shape[1], pk["q"].shape[3]
+                key = "q4" if "q4" in pk else "q"
+                h, hd = pk[key].shape[1], pk[key].shape[3]
+                sq = st // 2 if key == "q4" else st
                 kv.append(tuple(
-                    {"q": jnp.zeros((self.b, h, st, hd), jnp.int8),
+                    {key: jnp.zeros((self.b, h, sq, hd), jnp.int8),
                      "scale": jnp.zeros((self.b, h, st),
                                         pk["scale"].dtype)}
                     for _ in range(2)))
@@ -230,18 +306,20 @@ class ContinuousEngine:
             for (pk, pv), (rk, rv) in zip(kv, row_kv):
                 row = []
                 for pc, rc in ((pk, rk), (pv, rv)):
-                    sp = rc["q"].shape[2]
+                    key = "q4" if "q4" in pc else "q"
+                    sp = rc[key].shape[2]
                     q = jax.lax.dynamic_update_slice(
-                        pc["q"],
-                        jnp.zeros_like(pc["q"][:1]).at[:, :, :sp].set(
-                            rc["q"][i:i + 1].astype(pc["q"].dtype)),
+                        pc[key],
+                        jnp.zeros_like(pc[key][:1]).at[:, :, :sp].set(
+                            rc[key][i:i + 1].astype(pc[key].dtype)),
                         (slot, 0, 0, 0))
+                    ssp = rc["scale"].shape[2]
                     sc = jax.lax.dynamic_update_slice(
                         pc["scale"],
-                        jnp.zeros_like(pc["scale"][:1]).at[:, :, :sp].set(
+                        jnp.zeros_like(pc["scale"][:1]).at[:, :, :ssp].set(
                             rc["scale"][i:i + 1].astype(pc["scale"].dtype)),
                         (slot, 0, 0))
-                    row.append({"q": q, "scale": sc})
+                    row.append({key: q, "scale": sc})
                 new_kv.append(tuple(row))
             kv = tuple(new_kv)
             mrow = jnp.zeros_like(pm[:1]).at[:, :row_mask.shape[1]].set(

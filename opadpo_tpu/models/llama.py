@@ -517,6 +517,20 @@ def quantize_prompt_kv_int4(kv: jax.Array, total_len: Optional[int] = None
     return {"q4": packed.reshape(b, h, sp_pad // 2, hd), "scale": scale}
 
 
+def quantize_prompt_kv_int4_values(kv: jax.Array) -> dict:
+    """int4 quantization WITHOUT packing: [B, Sp, H, hd] →
+    ``{"qv": int32 [B, H, Sp, hd] in [-8, 7], "scale": f32 [B, H, Sp]}``
+    (head-major, unpadded).  Used by gather-based folds that must write
+    values at arbitrary per-row offsets — they rebuild packed bytes from
+    (old nibble | gathered new value) elementwise, so they need the raw
+    values, not a packed layout (engine/continuous.fold int4 path)."""
+    amax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1)   # [B, Sp, H]
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(kv.astype(jnp.float32) / scale[..., None]),
+                 -8, 7).astype(jnp.int32)
+    return {"qv": q.transpose(0, 2, 1, 3), "scale": scale.transpose(0, 2, 1)}
+
+
 def dequantize_prompt_kv_int4(pkq: dict) -> jax.Array:
     """Inverse of ``quantize_prompt_kv_int4`` (reference/test path) →
     head-major dequantized [B, H, Sp_pad, hd] f32."""

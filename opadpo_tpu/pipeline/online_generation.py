@@ -202,15 +202,12 @@ def run(cfg: Config) -> None:
     slots = int(t.get("continuous_slots", 0))
     if slots:
         from opadpo_tpu.engine.continuous import ContinuousEngine
-        if int(t.get("kv_bits", 16)) == 4:
-            raise ValueError(
-                "continuous_slots uses the int8 KV cache (per-row fold "
-                "offsets are not 256-aligned); kv_bits: 4 applies to the "
-                "batch sampler only — drop one of the two settings")
+        kvb = int(t.get("kv_bits", 16))
         engine = ContinuousEngine(
             llava_cfg, sampling, params, lora=lora,
             lora_scaling=lora_scaling, max_batch=slots, qlen=query_len,
             seg_len=int(t.get("continuous_seg_len", 64)),
+            kv_bits=4 if kvb == 4 else 8,
             rng=jax.random.PRNGKey(int(t.get("seed", 42)) + 1000 + rank))
 
     pool = concurrent.futures.ThreadPoolExecutor(

@@ -160,7 +160,7 @@ class ContinuousWorker:
                  max_new_tokens: int = 512, seg_len: int = 64,
                  head_bits: int = 16, max_admit_group: int = 4,
                  temperature: float = 0.0, top_k: int = 0,
-                 top_p: float = 1.0):
+                 top_p: float = 1.0, kv_bits: int = 8):
         from opadpo_tpu.engine.continuous import ContinuousEngine
         from opadpo_tpu.engine.sampler import Sampler
         from opadpo_tpu.engine.sampling import SamplingConfig
@@ -173,15 +173,17 @@ class ContinuousWorker:
             max_new_tokens=max_new_tokens,
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id)
+        kv_bits = 8 if kv_bits == 16 else kv_bits
         prep = Sampler(cfg, self.sampling, lora_scaling=lora_scaling,
-                       kv_bits=8, head_bits=head_bits)
+                       kv_bits=kv_bits, head_bits=head_bits)
         params, lora = prep.prepare_params(params, lora)
 
         def mk_engine():
             return ContinuousEngine(
                 cfg, self.sampling, params, lora=lora,
                 lora_scaling=lora_scaling, max_batch=max_batch,
-                seg_len=seg_len, max_admit_group=max_admit_group)
+                seg_len=seg_len, max_admit_group=max_admit_group,
+                kv_bits=kv_bits)
 
         self._mk_engine = mk_engine
         self.engine = mk_engine()
@@ -339,13 +341,9 @@ def main():
         scaling = acfg["lora_alpha"] / acfg["r"]
 
     if args.continuous:
-        if args.kv_bits == 4:
-            # the slot-pool engine folds rows at ARBITRARY per-row offsets
-            # — the packed int4 cache needs 256-aligned offsets, so it is
-            # batch-mode only.  Fail loudly rather than silently serving
-            # int8 (a user sizing slots for the int4 ceiling would OOM).
-            raise SystemExit("--continuous uses the int8 KV cache; "
-                             "--kv-bits 4 is batch-mode only")
+        if args.kv_bits == 16:
+            print("note: --continuous quantizes the KV cache (int8 "
+                  "default; --kv-bits 4 halves it again)", flush=True)
         worker = ContinuousWorker(params, cfg, tokenizer, lora=lora,
                                   lora_scaling=scaling,
                                   max_batch=args.max_batch,
@@ -354,7 +352,8 @@ def main():
                                   head_bits=args.head_bits,
                                   max_admit_group=args.admit_group,
                                   temperature=args.temperature,
-                                  top_k=args.top_k, top_p=args.top_p)
+                                  top_k=args.top_k, top_p=args.top_p,
+                                  kv_bits=args.kv_bits)
     else:
         worker = InferenceWorker(params, cfg, tokenizer, lora=lora,
                                  lora_scaling=scaling,

@@ -38,12 +38,14 @@ def _request(seed: int):
     return ids, mask, image
 
 
-def _engine(max_batch: int, max_new: int, seg_len: int, eos: int = -1):
+def _engine(max_batch: int, max_new: int, seg_len: int, eos: int = -1,
+            kv_bits: int = 8):
     sampling = SamplingConfig(greedy=True, max_new_tokens=max_new,
                               eos_token_id=eos, pad_token_id=0)
-    params, _ = Sampler(CFG32, sampling, kv_bits=8).prepare_params(PARAMS32)
+    params, _ = Sampler(CFG32, sampling,
+                        kv_bits=kv_bits).prepare_params(PARAMS32)
     return ContinuousEngine(CFG32, sampling, params, max_batch=max_batch,
-                            qlen=QLEN, seg_len=seg_len)
+                            qlen=QLEN, seg_len=seg_len, kv_bits=kv_bits)
 
 
 def _run_all(eng):
@@ -145,6 +147,70 @@ def test_eos_frees_slot_and_budget_cap():
     r = eng2.add_request(*_request(33))
     out = _run_all(eng2)[r]
     assert out.shape[0] == 5
+
+
+def test_int4_engine_matches_naive_and_solo():
+    """kv_bits=4 slot pool (packed int4 cache, nibble-wise per-row fold):
+    a single request matches full-forward greedy, and staggered pool
+    requests bitwise match their solo runs."""
+    ids, mask, image = _request(61)
+    eng = _engine(max_batch=2, max_new=6, seg_len=2, kv_bits=4)
+    rid = eng.add_request(ids, mask, image)
+    eng.step()                                   # r1 advances alone
+    other = _request(62)
+    rid2 = eng.add_request(*other)               # admitted mid-stream
+    done = _run_all(eng)
+    np.testing.assert_array_equal(done[rid],
+                                  _naive_greedy(ids, mask, image, 6))
+    solo = _engine(max_batch=1, max_new=6, seg_len=2, kv_bits=4)
+    srid = solo.add_request(*other)
+    np.testing.assert_array_equal(done[rid2], _run_all(solo)[srid])
+
+
+def test_per_row_fold_int4_arbitrary_offsets():
+    """The nibble-wise int4 per-row fold writes each row at an ARBITRARY
+    (unaligned, distinct) offset: folded positions must dequantize to the
+    suffix's own int4 quantization, untouched positions must be
+    preserved bit-exactly, and the mask must extend per row."""
+    from opadpo_tpu.engine.continuous import fold_suffix_per_row_int4
+    from opadpo_tpu.models import llama as llama_model
+
+    rng = np.random.default_rng(5)
+    b, h, hd, nseg, s_total = 2, 3, 8, 128, 512
+    kv_prompt = jnp.asarray(rng.standard_normal((b, 300, h, hd)),
+                            jnp.float32)
+    pk = llama_model.quantize_prompt_kv_int4(kv_prompt, total_len=s_total)
+    suffix = jnp.asarray(rng.standard_normal((b, nseg, h, hd)), jnp.float32)
+    row_len = jnp.asarray([157, 300], jnp.int32)     # unaligned + odd mix
+    n_valid = jnp.asarray([33, 70], jnp.int32)
+    pm = (jax.lax.broadcasted_iota(jnp.int32, (b, s_total), 1)
+          < row_len[:, None]).astype(jnp.int32)
+
+    new_kv, new_pm = fold_suffix_per_row_int4(
+        [(jax.tree_util.tree_map(jnp.copy, pk),
+          jax.tree_util.tree_map(jnp.copy, pk))],
+        [(suffix, suffix)], pm, row_len, n_valid)
+
+    ref_vals = llama_model.quantize_prompt_kv_int4_values(suffix)
+    exp = np.asarray(ref_vals["qv"], np.float64) \
+        * np.asarray(ref_vals["scale"])[..., None]
+    for got in new_kv[0]:
+        deq = np.asarray(llama_model.dequantize_prompt_kv_int4(got),
+                         np.float64)
+        old = np.asarray(llama_model.dequantize_prompt_kv_int4(pk),
+                         np.float64)
+        for i in range(b):
+            o, n = int(row_len[i]), int(n_valid[i])
+            np.testing.assert_allclose(deq[i, :, o:o + n],
+                                       exp[i, :, :n], rtol=1e-6, atol=1e-7)
+            # untouched regions preserved exactly
+            np.testing.assert_array_equal(deq[i, :, :o], old[i, :, :o])
+            np.testing.assert_array_equal(deq[i, :, o + n:],
+                                          old[i, :, o + n:])
+    for i in range(b):
+        exp_pm = (np.arange(s_total) < int(row_len[i]) + int(n_valid[i]))
+        np.testing.assert_array_equal(np.asarray(new_pm[i]),
+                                      exp_pm.astype(np.int32))
 
 
 def test_per_row_fold_matches_shared_offset_fold():
