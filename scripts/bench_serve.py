@@ -39,6 +39,9 @@ def main():
                         "jax.config)")
     p.add_argument("--bits", type=int, default=4, choices=(16, 8, 4))
     p.add_argument("--head-bits", type=int, default=4, choices=(16, 8, 4))
+    p.add_argument("--kv-bits", type=int, default=8, choices=(8, 4),
+                   help="KV-cache quantization for BOTH modes (4 halves "
+                        "cache memory -> more slots fit)")
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--requests", type=int, default=32)
     p.add_argument("--seg-len", type=int, default=64)
@@ -114,7 +117,8 @@ def main():
                                max_batch=args.slots,
                                qlen=args.query_len,
                                seg_len=args.seg_len,
-                               max_admit_group=args.admit_group)
+                               max_admit_group=args.admit_group,
+                               kv_bits=args.kv_bits)
 
         def run_continuous():
             for q, m, im, budget in reqs:
@@ -138,8 +142,8 @@ def main():
         # batch-synchronous: fill a batch, run ALL of it to the batch max
         # budget (HF-generate semantics with early-exit on all-EOS; with
         # eos=-1 synthetic rollouts, that is the max budget in the batch)
-        s = Sampler(cfg, sampling, kv_bits=8, head_bits=args.head_bits,
-                    chunk=256)
+        s = Sampler(cfg, sampling, kv_bits=args.kv_bits,
+                    head_bits=args.head_bits, chunk=256)
         params_d, _ = s.prepare_params(params)
         samplers = {}
 
@@ -162,7 +166,8 @@ def main():
                             max_new_tokens=cap, temperature=1.0,
                             top_k=30, top_p=0.95, eos_token_id=-1,
                             pad_token_id=0),
-                        kv_bits=8, head_bits=args.head_bits, chunk=256)
+                        kv_bits=args.kv_bits, head_bits=args.head_bits,
+                        chunk=256)
                 out = samplers[cap].generate(params_d, q, m, im,
                                              jax.random.PRNGKey(i))
                 _ = np.asarray(out)
