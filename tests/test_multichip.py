@@ -436,9 +436,9 @@ def test_tensor_parallel_continuous_engine_matches_singlechip():
         img = np.asarray(jax.random.normal(k2, (sz, sz, 3)), np.float32)
         return ids, np.ones((qlen,), np.int32), img
 
-    def run(prepped):
+    def run(prepped, kv_bits):
         eng = ContinuousEngine(cfg32, sampling, prepped, max_batch=2,
-                               qlen=qlen, seg_len=2)
+                               qlen=qlen, seg_len=2, kv_bits=kv_bits)
         rids = [eng.add_request(*request(s)) for s in (51, 52, 53)]
         done = {}
         while eng.has_work():
@@ -447,7 +447,7 @@ def test_tensor_parallel_continuous_engine_matches_singlechip():
         return [done[r] for r in rids]
 
     prepped, _ = Sampler(cfg32, sampling, kv_bits=8).prepare_params(params)
-    ref = run(prepped)
+    refs = {kb: run(prepped, kb) for kb in (8, 4)}
 
     mesh = make_mesh(MeshConfig(data=4, model=2))
     params_tp = shard_pytree(params, param_partition_specs(params, mesh),
@@ -456,8 +456,9 @@ def test_tensor_parallel_continuous_engine_matches_singlechip():
     try:
         prepped_tp, _ = Sampler(cfg32, sampling,
                                 kv_bits=8).prepare_params(params_tp)
-        out = run(prepped_tp)
+        outs = {kb: run(prepped_tp, kb) for kb in (8, 4)}
     finally:
         attn.set_tp_mesh(None)
-    for r, o in zip(ref, out):
-        np.testing.assert_array_equal(o, r)
+    for kb in (8, 4):
+        for r, o in zip(refs[kb], outs[kb]):
+            np.testing.assert_array_equal(o, r, err_msg=f"kv_bits={kb}")
