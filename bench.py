@@ -477,7 +477,7 @@ def _run_hot_loop_subprocess(name: str) -> dict:
     import subprocess
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--only", name],
-        capture_output=True, text=True, timeout=3600)
+        capture_output=True, text=True, timeout=5400)
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
