@@ -160,7 +160,8 @@ class ContinuousWorker:
                  max_new_tokens: int = 512, seg_len: int = 64,
                  head_bits: int = 16, max_admit_group: int = 4,
                  temperature: float = 0.0, top_k: int = 0,
-                 top_p: float = 1.0, kv_bits: int = 8):
+                 top_p: float = 1.0, kv_bits: int = 8,
+                 query_len: int = 128):
         from opadpo_tpu.engine.continuous import ContinuousEngine
         from opadpo_tpu.engine.sampler import Sampler
         from opadpo_tpu.engine.sampling import SamplingConfig
@@ -179,11 +180,14 @@ class ContinuousWorker:
         params, lora = prep.prepare_params(params, lora)
 
         def mk_engine():
+            # the slot pool's prompt bucket is FIXED (one prefill shape);
+            # prompts longer than query_len are left-truncated by
+            # add_request — size it for the deployment's longest prompt
             return ContinuousEngine(
                 cfg, self.sampling, params, lora=lora,
                 lora_scaling=lora_scaling, max_batch=max_batch,
                 seg_len=seg_len, max_admit_group=max_admit_group,
-                kv_bits=kv_bits)
+                kv_bits=kv_bits, qlen=query_len)
 
         self._mk_engine = mk_engine
         self.engine = mk_engine()
@@ -316,6 +320,10 @@ def main():
     p.add_argument("--seg-len", type=int, default=64,
                    help="continuous mode: decode steps per scheduling "
                         "segment (admission latency quantum)")
+    p.add_argument("--query-len", type=int, default=128,
+                   help="continuous mode: fixed prompt bucket (tokens); "
+                        "longer prompts are LEFT-TRUNCATED at admission "
+                        "(batch mode instead buckets per micro-batch)")
     p.add_argument("--admit-group", type=int, default=4, choices=(1, 2, 4),
                    help="continuous mode: max admission prefill batch — "
                         "cap at 1-2 for large models to keep HBM headroom")
@@ -353,7 +361,8 @@ def main():
                                   max_admit_group=args.admit_group,
                                   temperature=args.temperature,
                                   top_k=args.top_k, top_p=args.top_p,
-                                  kv_bits=args.kv_bits)
+                                  kv_bits=args.kv_bits,
+                                  query_len=args.query_len)
     else:
         worker = InferenceWorker(params, cfg, tokenizer, lora=lora,
                                  lora_scaling=scaling,
