@@ -136,10 +136,14 @@ def _kernel4(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref,
             s_hi = jax.lax.dot_general(
                 qrow, k_hi, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            s_lo = s_lo * (ks_ref[0, h][None, o_lo:o_lo + 128] * sm_scale) \
-                + bias[:, o_lo:o_lo + 128]
-            s_hi = s_hi * (ks_ref[0, h][None, o_hi:o_hi + 128] * sm_scale) \
-                + bias[:, o_hi:o_hi + 128]
+            # slice scale rows at REF-read time: newaxis+slice on the
+            # loaded 1D array rewrites to a 1D lax.gather, which Mosaic
+            # cannot lower ("Only 2D gather is supported" — hit on the
+            # chip; interpret mode accepted it)
+            ks_lo = ks_ref[0, h, o_lo:o_lo + 128][None, :]
+            ks_hi = ks_ref[0, h, o_hi:o_hi + 128][None, :]
+            s_lo = s_lo * (ks_lo * sm_scale) + bias[:, o_lo:o_lo + 128]
+            s_hi = s_hi * (ks_hi * sm_scale) + bias[:, o_hi:o_hi + 128]
 
             m_old = m_scr[h]
             m_new = jnp.maximum(m_old,
@@ -149,10 +153,10 @@ def _kernel4(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref,
             p_hi = jnp.exp(s_hi - m_new)
             l_scr[h] = (l_scr[h] * alpha
                         + jnp.sum(p_lo) + jnp.sum(p_hi))
-            pw_lo = (p_lo * vs_ref[0, h][None, o_lo:o_lo + 128]
-                     ).astype(jnp.bfloat16)
-            pw_hi = (p_hi * vs_ref[0, h][None, o_hi:o_hi + 128]
-                     ).astype(jnp.bfloat16)
+            vs_lo = vs_ref[0, h, o_lo:o_lo + 128][None, :]
+            vs_hi = vs_ref[0, h, o_hi:o_hi + 128][None, :]
+            pw_lo = (p_lo * vs_lo).astype(jnp.bfloat16)
+            pw_hi = (p_hi * vs_hi).astype(jnp.bfloat16)
             pv = jax.lax.dot_general(
                 pw_lo, v_lo, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
