@@ -104,24 +104,10 @@ def _score_throughput(cfg, dpo, b: int, n_iters: int = 8,
     return 3 * b * seq_len / dt
 
 
-def bench_dpo_scoring() -> dict:
-    from opadpo_tpu.engine.dpo import DpoConfig
-    from opadpo_tpu.models.llava import LlavaConfig
-
-    cfg = LlavaConfig.llava_7b()
-    dpo = DpoConfig(response_len=896, query_len=128, lora_scaling=2.0)
-
-    results = {}
-    for mode, b in (("w8a8", 1), ("w8a8", 4), ("bf16", 1)):
-        try:
-            results[f"{mode}_b{b}"] = round(
-                _score_throughput(cfg, dpo, b, quant_mode=mode), 1)
-        except Exception as e:
-            print(f"{mode} B={b} scoring failed: {e}", file=sys.stderr)
-    if not results:
-        raise RuntimeError("all scoring configs failed")
+def _scoring_record(results: dict) -> dict:
     # headline: the production scoring config on this 16 GB chip (int8
-    # base is mandatory for 7B training memory; w8a8 rides the int8 MXU)
+    # base is mandatory for 7B training memory; w8a8 rides the int8 MXU —
+    # the DOCUMENTED default, README "Numerics defaults"; bits=16 opt-out)
     best = max(results, key=results.get)
     tps = results[best]
     return {
@@ -132,6 +118,33 @@ def bench_dpo_scoring() -> dict:
         "config": best,
         "detail": {f"{k}_tokens_per_sec": v for k, v in results.items()},
     }
+
+
+def bench_dpo_scoring(on_update=None) -> dict:
+    """Scoring throughput over three configs, best-first so a partial
+    (budget-killed) run still carries the headline number.  ``on_update``
+    is called with the cumulative record after EVERY config finishes —
+    main() prints it, so the driver's last-JSON-line parse always sees
+    real data (BENCH_r03 was rc-124/null because everything printed at
+    the very end)."""
+    from opadpo_tpu.engine.dpo import DpoConfig
+    from opadpo_tpu.models.llava import LlavaConfig
+
+    cfg = LlavaConfig.llava_7b()
+    dpo = DpoConfig(response_len=896, query_len=128, lora_scaling=2.0)
+
+    results = {}
+    for mode, b in (("w8a8", 4), ("w8a8", 1), ("bf16", 1)):
+        try:
+            results[f"{mode}_b{b}"] = round(
+                _score_throughput(cfg, dpo, b, quant_mode=mode), 1)
+        except Exception as e:
+            print(f"{mode} B={b} scoring failed: {e}", file=sys.stderr)
+        if results and on_update is not None:
+            on_update(_scoring_record(results))
+    if not results:
+        raise RuntimeError("all scoring configs failed")
+    return _scoring_record(results)
 
 
 def bench_rollout_decode(b: int = 16, steps: int = 896) -> dict:
@@ -296,9 +309,15 @@ def bench_serving(slots: int = 8, requests: int = 24,
                       f"reqs{requests}_mixed{max_new}"}
 
 
-def bench_sft_step(b: int = 4, seq: int = 1600, iters: int = 2) -> dict:
+def bench_sft_step(b: int = 4, seq: int = 1600, iters: int = 2,
+                   quant_mode: str = "w8a8") -> dict:
     """OPA SFT step (reference hot loop #2: LLaVATrainer fwd/bwd on 4x
-    A100, run/train_opa.sh; stage wall-clock ~30 min, README.md:121)."""
+    A100, run/train_opa.sh; stage wall-clock ~30 min, README.md:121).
+
+    quant_mode "w8a8" is the documented default (README "Numerics
+    defaults"); "bf16" replicates the reference's bits=16 numerics for
+    the both-variants wall-clock comparison (B is capped at 2 there —
+    bf16 7B SFT B=4 needs 17.75 GB and does not fit this chip)."""
     from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
     from opadpo_tpu.engine.sft import SftConfig, sft_train_step
     from opadpo_tpu.engine.train_state import (
@@ -309,16 +328,24 @@ def bench_sft_step(b: int = 4, seq: int = 1600, iters: int = 2) -> dict:
     from opadpo_tpu.models.lora import LoraConfig
     from opadpo_tpu.ops import quant
 
-    # act_bwd_int8: measured grad-cosine 0.9999933 vs bf16 — identical to
-    # the bf16-backward w8a8 mode (QUALITY_r03.json) at −12% step time
-    quant.set_act_quant(True, bwd_int8=True)
     cfg = LlavaConfig.llava_7b()
     lora_cfg = LoraConfig(rank=64, alpha=128.0)
 
-    params = jax.jit(lambda: jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.01, s.dtype),
-        jax.eval_shape(lambda: quant.quantize_params(
-            llava_model.init_params(jax.random.PRNGKey(0), cfg)))))()
+    if quant_mode == "bf16":
+        quant.set_act_quant(False)
+        b = min(b, 2)
+        params = jax.jit(lambda: jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, 0.01, s.dtype),
+            jax.eval_shape(lambda: llava_model.init_params(
+                jax.random.PRNGKey(0), cfg))))()
+    else:
+        # act_bwd_int8: measured grad-cosine 0.9999933 vs bf16 — identical
+        # to the bf16-backward w8a8 mode (QUALITY_r03.json) at −12% step
+        quant.set_act_quant(True, bwd_int8=True)
+        params = jax.jit(lambda: jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, 0.01, s.dtype),
+            jax.eval_shape(lambda: quant.quantize_params(
+                llava_model.init_params(jax.random.PRNGKey(0), cfg)))))()
     lora0 = jax.jit(lambda: jax.tree_util.tree_map(
         lambda s: jnp.full(s.shape, 0.01, s.dtype),
         jax.eval_shape(lambda: llava_model.init_lora(
@@ -341,6 +368,21 @@ def bench_sft_step(b: int = 4, seq: int = 1600, iters: int = 2) -> dict:
     scfg = SftConfig(lora_scaling=lora_cfg.scaling)
     step = jax.jit(lambda s, p, bt: sft_train_step(s, p, bt, tx, cfg, scfg),
                    donate_argnums=(0,))
+    if quant_mode == "bf16":
+        # A runtime OOM wedges the axon TPU service for hours (observed
+        # 2026-08-17) — compile-only probe first and keep >=1.5 GB of
+        # estimated headroom before executing an unproven (mode, batch).
+        compiled = step.lower(state, params, batch).compile()
+        try:
+            ma = compiled.memory_analysis()
+            peak = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                    + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
+        except Exception:
+            peak = None
+        if peak is not None and peak / 1e9 > 14.25:
+            return {"skipped": f"bf16 b{b} est peak {peak/1e9:.2f} GB "
+                               "> 14.25 GB headroom rule",
+                    "config": f"bf16_r64_b{b}_seq{seq}"}
     state, stats = step(state, params, batch)
     _ = float(stats["loss/total"])
     t0 = time.perf_counter()
@@ -348,9 +390,10 @@ def bench_sft_step(b: int = 4, seq: int = 1600, iters: int = 2) -> dict:
         state, stats = step(state, params, batch)
     _ = float(stats["loss/total"])
     dt = (time.perf_counter() - t0) / iters
+    tag = "w8a8_bwd8" if quant_mode == "w8a8" else "bf16"
     return {"seconds_per_step": round(dt, 3),
             "seq_per_sec_chip": round(b / dt, 3),
-            "config": f"w8a8_bwd8_r64_b{b}_seq{seq}"}
+            "config": f"{tag}_r64_b{b}_seq{seq}"}
 
 
 def bench_dpo_step(b: int = 2, iters: int = 2) -> dict:
@@ -466,18 +509,28 @@ _HOT_LOOPS = {
     "sft_step": lambda: bench_sft_step(),
     "dpo_step": lambda: bench_dpo_step(),
     "serving_continuous": lambda: bench_serving(),
+    "sft_step_bf16": lambda: bench_sft_step(quant_mode="bf16"),
 }
 
+# A hot loop is only attempted when at least this much budget remains:
+# warm-cache runs finish well inside it, and a cold compile that cannot
+# finish is better skipped explicitly than timed out after eating the
+# rest of the window (the BENCH_r03 failure mode).
+_MIN_LOOP_BUDGET_S = 300.0
 
-def _run_hot_loop_subprocess(name: str) -> dict:
+
+def _run_hot_loop_subprocess(name: str, timeout_s: float) -> dict:
     """Each hot-loop bench runs in its OWN process: after the scoring
     bench (which transiently holds the bf16 7B pytree), in-process HBM
     fragmentation intermittently OOMs the follow-on benches — a fresh
     device context per bench is deterministic."""
     import subprocess
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--only", name],
-        capture_output=True, text=True, timeout=5400)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", name],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {int(timeout_s)}s"}
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -502,16 +555,88 @@ def _probe_device(timeout_s: int = 240) -> bool:
         return False
 
 
+def _annotate(result: dict) -> dict:
+    """Derived fields recomputed on every emission so each printed line
+    is a complete record on its own."""
+    hot_loops = result.get("hot_loops", {})
+
+    # Projected v5e-8 OPA-stage wall-clock vs the reference's ~30 min on
+    # 4x A100 (README.md:121): 4.8k pairs x 2 response types x 2 epochs
+    # of SFT sequences, data-parallel over 8 chips.  Emitted for BOTH
+    # numerics variants (README "Numerics defaults": w8a8 default,
+    # bits=16 opt-out) when their SFT loops have run.
+    total_seq = 4800 * 2 * 2
+    for loop, key in (("sft_step", "projected_v5e8_opa_stage_minutes"),
+                      ("sft_step_bf16",
+                       "projected_v5e8_opa_stage_minutes_bf16")):
+        sft = hot_loops.get(loop, {})
+        if "seq_per_sec_chip" in sft:
+            minutes = total_seq / (8 * sft["seq_per_sec_chip"]) / 60.0
+            result[key] = round(minutes, 1)
+            result["reference_a100x4_opa_stage_minutes"] = 30.0
+
+    # Projected v5e-8 DPO-stage wall-clock: 9.6k pairs, rollout-scoring
+    # + noptepochs=2 policy steps at the measured per-step costs,
+    # data-parallel over 8 chips (reference stage ~120 min, README:121).
+    dpo = hot_loops.get("dpo_step", {})
+    if "seconds_per_step" in dpo and "rollout_score_seconds" in dpo:
+        pairs, b = 9600, 2
+        sec = (pairs / b / 8) * (dpo["rollout_score_seconds"]
+                                 + 2 * dpo["seconds_per_step"])
+        result["projected_v5e8_dpo_stage_minutes"] = round(sec / 60.0, 1)
+        result["reference_a100x4_dpo_stage_minutes"] = 120.0
+
+    # Annotate the headline with the measured quantization-quality cost
+    # (scripts/bench_quality.py artifact) so the w8a8 number is never read
+    # without its divergence-vs-bf16 context.
+    qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "QUALITY_r03.json")
+    if os.path.exists(qpath) and "config" in result:
+        try:
+            with open(qpath) as f:
+                q = json.load(f)
+            mode = result.get("config", "").split("_b")[0]
+            entry = q.get("scoring", {}).get(mode)
+            if entry:
+                result["quality_vs_bf16"] = {
+                    "mode": mode,
+                    "logprob_mae": entry.get("logprob_mae"),
+                    "lora_grad_cosine": entry.get(
+                        "lora_grad_cosine_vs_bf16",
+                        entry.get("lora_grad_cosine_vs_int8")),
+                    "artifact": os.path.basename(qpath),
+                }
+        except Exception as e:
+            print(f"quality annotation failed: {e}", file=sys.stderr)
+    return result
+
+
 def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", choices=sorted(_HOT_LOOPS),
                     help="run one hot-loop bench and print its JSON "
                          "(used by the subprocess isolation)")
+    ap.add_argument("--budget-s", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", "1500")),
+                    help="total wall-clock budget; remaining hot loops "
+                         "are skipped (marked) once it is exhausted")
     args = ap.parse_args()
     if args.only:
         print(json.dumps(_HOT_LOOPS[args.only]()))
         return
+
+    t_start = time.perf_counter()
+
+    def remaining() -> float:
+        return args.budget_s - (time.perf_counter() - t_start)
+
+    def emit(record: dict) -> None:
+        # One complete JSON record per line, flushed immediately: the
+        # driver parses the LAST JSON line in the tail, so partial
+        # progress survives a kill (BENCH_r03 was rc-124/null because a
+        # single print waited on every hot loop).
+        print(json.dumps(_annotate(record)), flush=True)
 
     last_good_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_last_good.json")
@@ -530,7 +655,7 @@ def main():
         return
 
     try:
-        result = bench_dpo_scoring()
+        result = bench_dpo_scoring(on_update=emit)
     except Exception as e:                          # OOM / compile failure
         print(f"7B scoring bench failed ({e}); falling back",
               file=sys.stderr)
@@ -538,57 +663,35 @@ def main():
         print(json.dumps(result))
         return
 
-    # All four hot loops in one driver-captured artifact (VERDICT r2
-    # item 3): scoring is the headline; rollout decode / SFT / DPO step
-    # land in hot_loops so regressions are bench-visible.
+    # All hot loops in one driver-captured artifact (VERDICT r2 item 3):
+    # scoring is the headline; rollout decode / SFT / DPO step / serving
+    # land in hot_loops so regressions are bench-visible.  Cumulative
+    # re-emission after each loop + an explicit budget keep the artifact
+    # non-empty no matter where the driver's window ends (VERDICT r3
+    # item 1).
     hot_loops = {}
+    result["hot_loops"] = hot_loops
+    emit(result)
     for name in ("rollout_decode", "sft_step", "dpo_step",
-                 "serving_continuous"):
+                 "serving_continuous", "sft_step_bf16"):
+        budget_left = remaining()
+        if budget_left < _MIN_LOOP_BUDGET_S:
+            hot_loops[name] = {"skipped": "budget"}
+            emit(result)
+            continue
         try:
-            hot_loops[name] = _run_hot_loop_subprocess(name)
+            hot_loops[name] = _run_hot_loop_subprocess(name, budget_left)
         except Exception as e:
             print(f"{name} bench failed: {e}", file=sys.stderr)
             hot_loops[name] = {"error": str(e)[:200]}
-    result["hot_loops"] = hot_loops
-
-    # Projected v5e-8 OPA-stage wall-clock vs the reference's ~30 min on
-    # 4x A100 (README.md:121): 4.8k pairs x 2 response types x 2 epochs
-    # of SFT sequences, data-parallel over 8 chips.
-    sft = hot_loops.get("sft_step", {})
-    if "seq_per_sec_chip" in sft:
-        total_seq = 4800 * 2 * 2
-        minutes = total_seq / (8 * sft["seq_per_sec_chip"]) / 60.0
-        result["projected_v5e8_opa_stage_minutes"] = round(minutes, 1)
-        result["reference_a100x4_opa_stage_minutes"] = 30.0
-
-    # Annotate the headline with the measured quantization-quality cost
-    # (scripts/bench_quality.py artifact) so the w8a8 number is never read
-    # without its divergence-vs-bf16 context.
-    qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "QUALITY_r03.json")
-    if os.path.exists(qpath):
-        try:
-            with open(qpath) as f:
-                q = json.load(f)
-            mode = result.get("config", "").split("_b")[0]
-            entry = q.get("scoring", {}).get(mode)
-            if entry:
-                result["quality_vs_bf16"] = {
-                    "mode": mode,
-                    "logprob_mae": entry.get("logprob_mae"),
-                    "lora_grad_cosine": entry.get(
-                        "lora_grad_cosine_vs_bf16",
-                        entry.get("lora_grad_cosine_vs_int8")),
-                    "artifact": os.path.basename(qpath),
-                }
-        except Exception as e:
-            print(f"quality annotation failed: {e}", file=sys.stderr)
+        emit(result)
 
     # preserved verbatim for the unreachable-device record above — only
     # when FULLY good (a mid-bench wedge would otherwise clobber the
     # genuine record with one whose hot loops are all errors), and
     # written atomically (a truncated file would corrupt the fallback)
-    degraded = any("error" in v for v in hot_loops.values())
+    degraded = any(("error" in v or "skipped" in v)
+                   for v in hot_loops.values())
     if not degraded:
         try:
             tmp = last_good_path + ".tmp"
@@ -599,8 +702,6 @@ def main():
             os.replace(tmp, last_good_path)
         except OSError as e:
             print(f"last-good record not written: {e}", file=sys.stderr)
-
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
