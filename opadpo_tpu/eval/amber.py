@@ -11,9 +11,12 @@ Environment notes (degradations are opt-in, never silent):
   filtered against the association vocabulary (extracted nouns are
   intersected with that vocabulary immediately afterwards in the
   reference too, so only non-noun vocabulary words can differ);
-- the spaCy embedding-similarity synonym fallback (reference
-  ``check_synonyms_word``) requires en_core_web_lg; without it only the
-  association lists (which already enumerate synonyms) are used.
+- the spaCy embedding-similarity synonym check (reference
+  ``check_synonyms_word``) uses en_core_web_lg when installed; otherwise
+  a bundled curated similarity table over the closed AMBER vocabulary
+  stands in behind the same 0.8-threshold interface
+  (``amber_similarity.bundled_similarity`` — see that module's docstring
+  for the approximation contract).
 """
 
 from __future__ import annotations
@@ -71,6 +74,8 @@ _SPACY_NLP = None
 
 def check_synonyms_word(word1: str, word2: str,
                         similarity_score: float = 0.8) -> bool:
+    """Reference ``AMBER_eval.py:28-32`` — spaCy vector similarity with
+    a strict > threshold; the bundled table is the offline stand-in."""
     global _SPACY_NLP
     if _SPACY_NLP is None:
         try:
@@ -79,7 +84,8 @@ def check_synonyms_word(word1: str, word2: str,
         except Exception:
             _SPACY_NLP = False
     if not _SPACY_NLP:
-        return False
+        from opadpo_tpu.eval.amber_similarity import bundled_similarity
+        return bundled_similarity(word1, word2) > similarity_score
     return _SPACY_NLP(word1).similarity(_SPACY_NLP(word2)) > similarity_score
 
 

@@ -8,12 +8,16 @@ object recall, and average response length.
 
 Object grounding uses the standard MSCOCO 80-class synonym table from the
 original CHAIR evaluation (Rohrbach et al. 2018, public) with the usual
-double-word and plural handling.  The reference's optional GPT-4 object
-extraction mode (``:323-408``) is available via ``extract_objects_fn``.
+double-word and plural handling.  The reference's GPT-4 object
+extraction mode (``:323-408``: prompt → JSON object list → synonym-table
+grounding, cached per response) is ``make_gpt_extractor`` /
+``--use-gpt-extraction``; any custom extractor plugs in via
+``extract_objects_fn``.
 """
 
 from __future__ import annotations
 
+import inspect
 import json
 import re
 from typing import Callable, Dict, List, Optional, Sequence, Set
@@ -140,56 +144,203 @@ COCO_SYNONYMS: Dict[str, Sequence[str]] = {
     "toothbrush": ("toothbrush",),
 }
 
-_WORD_RE = re.compile(r"[a-z]+(?: [a-z]+)?")
+# tokens: word runs OR punctuation runs — punctuation must stay a token
+# so double-word adjacency does not jump across it ("a dog, stop sign"),
+# matching the reference's nltk.word_tokenize stream (:222)
+_TOKEN_RE = re.compile(r"[a-z]+|[^\sa-z]+")
+
+_ANIMAL_WORDS = ("bird", "cat", "dog", "horse", "sheep", "cow", "elephant",
+                 "bear", "zebra", "giraffe", "animal", "cub")
+_VEHICLE_WORDS = ("jet", "train")
 
 
-def _build_lookup() -> Dict[str, str]:
-    lookup: Dict[str, str] = {}
-    for obj, syns in COCO_SYNONYMS.items():
-        for s in syns:
-            lookup[s] = obj
-    return lookup
+class SynonymTables:
+    """Lookup structures for one synonym vocabulary (reference CHAIR
+    constructor, ``eval_gpt_obj_halbench.py:150-178``): synonym →
+    canonical object, plus the double-word map with the standard special
+    cases (baby/adult animals, passenger vehicles, bow tie → tie,
+    toilet seat → toilet, wine glas → wine glass)."""
+
+    def __init__(self, synonyms: Dict[str, Sequence[str]]):
+        self.lookup: Dict[str, str] = {}
+        for obj, syns in synonyms.items():
+            for s in syns:
+                self.lookup[s] = obj
+        double_words = [s for s in self.lookup if len(s.split(" ")) >= 2]
+        double_words += ["home plate", "train track"]
+        self.double_word_dict: Dict[str, str] = {
+            dw: dw for dw in double_words}
+        for a in _ANIMAL_WORDS:
+            self.double_word_dict[f"baby {a}"] = a
+            self.double_word_dict[f"adult {a}"] = a
+        for v in _VEHICLE_WORDS:
+            self.double_word_dict[f"passenger {v}"] = v
+        self.double_word_dict["bow tie"] = "tie"
+        self.double_word_dict["toilet seat"] = "toilet"
+        self.double_word_dict["wine glas"] = "wine glass"
+        # words occurring inside multi-word synonyms: the singularizer
+        # accepts candidates from this set too ("wine glasses" must
+        # lemmatize to "glass" before the pair scan can see "wine glass")
+        self._phrase_words = {w for dw in double_words
+                              for w in dw.split(" ")}
+
+    def singularize(self, word: str) -> str:
+        for suffix, repl in (("ies", "y"), ("ves", "f"), ("sses", "ss"),
+                             ("es", "e"), ("s", "")):
+            if word.endswith(suffix) and len(word) > len(suffix) + 1:
+                cand = word[: -len(suffix)] + repl
+                if cand in self.lookup or cand in self._phrase_words:
+                    return cand
+        return word
 
 
-_LOOKUP = _build_lookup()
-_DOUBLE_WORDS = sorted((s for s in _LOOKUP if " " in s),
-                       key=len, reverse=True)
+def load_synonym_file(path: str) -> Dict[str, Sequence[str]]:
+    """Parse a CHAIR synonyms file (one comma-separated group per line,
+    first entry canonical — the ``synonyms_refine.txt`` format)."""
+    out: Dict[str, Sequence[str]] = {}
+    with open(path) as f:
+        for line in f:
+            group = [s.strip() for s in line.strip().split(", ") if s.strip()]
+            if group:
+                out[group[0]] = tuple(group)
+    return out
 
 
-def _singularize(word: str) -> str:
-    for suffix, repl in (("ies", "y"), ("ves", "f"), ("sses", "ss"),
-                         ("es", "e"), ("s", "")):
-        if word.endswith(suffix) and len(word) > len(suffix) + 1:
-            cand = word[: -len(suffix)] + repl
-            if cand in _LOOKUP:
-                return cand
-    return word
+_DEFAULT_TABLES = SynonymTables(COCO_SYNONYMS)
 
 
-def extract_coco_objects(text: str) -> List[str]:
-    """Canonical COCO object names mentioned in free text."""
-    text = text.lower()
-    found: List[str] = []
-    # double-word synonyms first, removing them so single words don't
-    # double count
-    for phrase in _DOUBLE_WORDS:
-        pattern = phrase.replace(" ", r"\s+")
-        if re.search(rf"\b{pattern}s?\b", text):
-            found.append(_LOOKUP[phrase])
-            text = re.sub(rf"\b{pattern}s?\b", " ", text)
-    for word in re.findall(r"[a-z]+", text):
-        word = _singularize(word)
-        if word in _LOOKUP:
-            found.append(_LOOKUP[word])
-    return found
+def extract_coco_objects(text: str,
+                         tables: Optional[SynonymTables] = None) -> List[str]:
+    """Canonical COCO object names mentioned in free text (reference
+    ``caption_to_words``, ``:215-253``: tokenize → lemmatize →
+    double-word scan → toilet-seat rule → synonym lookup)."""
+    t = tables or _DEFAULT_TABLES
+    words = [t.singularize(w) for w in _TOKEN_RE.findall(text.lower())]
+    merged: List[str] = []
+    i = 0
+    while i < len(words):
+        pair = " ".join(words[i:i + 2])
+        if pair in t.double_word_dict:
+            merged.append(t.double_word_dict[pair])
+            i += 2
+        else:
+            merged.append(words[i])
+            i += 1
+    # "the seat of the toilet" must not fire for "chair" (reference :243)
+    if "toilet" in merged and "seat" in merged:
+        merged = [w for w in merged if w != "seat"]
+    return [t.lookup[w] for w in merged if w in t.lookup]
+
+
+# GPT-4 object-extraction prompt: re-worded from the reference template
+# (eval_gpt_obj_halbench.py:54-79) with the SCHEMA preserved — question +
+# answer in delimited blocks, output a JSON string list of bare object
+# names (no attributes), empty list when nothing is visible.
+EXTRACTION_PROMPT = """You specialize in pulling out the physical objects \
+referenced in a visual question-answering exchange. A respondent was shown \
+a picture and produced the answer below.
+
+[Start of Question]
+
+<image> {question}
+
+[End of Question]
+
+[Start of Respondent's Answer]
+
+{answer}
+
+[End of Respondent's Answer]
+
+
+Treat the answer as accurate and list every visible object it says appears \
+in the picture, under these rules:
+
+1. Only list objects the respondent's answer explicitly names.
+2. Give bare object names, leaving out any attributes.
+3. Drop qualities such as color or material from each name.
+4. Be exact. Reply with a JSON list of strings: ["object_1", ..., "object_n"].
+5. Reply with an empty JSON list () when the answer names no visible objects.
+"""
+
+
+def parse_object_list(content: str) -> List[str]:
+    """Parse the model's JSON-list reply, tolerating code fences and
+    leading prose (reference ``parse_object_list``, ``:40-52``)."""
+    content = content.replace("```json", "").replace("```", "")
+    flat = content.replace("\n", "")
+    try:
+        out = json.loads(flat)
+    except json.JSONDecodeError:
+        if '["' not in content:
+            raise ValueError("extraction reply is not a JSON list")
+        try:
+            out = json.loads(content.strip().split("\n")[-1])
+        except json.JSONDecodeError:
+            raise ValueError("extraction reply is not a JSON list")
+    if not isinstance(out, list):
+        raise ValueError("extraction reply is not a JSON list")
+    return [str(x) for x in out]
+
+
+def make_gpt_extractor(service, fail_limit: int = 5,
+                       short_answer_words: int = 3,
+                       tables: Optional["SynonymTables"] = None) -> Callable:
+    """GPT-4 object extraction (reference ``get_gpt_resp``, ``:322-380``):
+    short answers yield no objects; otherwise ask the API for a JSON
+    object list and ground each phrase through the COCO synonym table
+    (reference ``get_pred_objs_match`` + ``caption_objects_to_coco_objects``
+    — only phrases that map to a COCO class count, deduplicated).
+
+    Responses are cached in the service's sqlite store (same prompt →
+    same cache key), so interrupted runs resume without re-spending API
+    calls.  Persistent API/parse failure raises — the reference asserts
+    on its ``<no_response>`` marker at the same point (``:430``)."""
+    def extract(text: str, record: Optional[Dict] = None) -> List[str]:
+        if len(text.strip().split()) <= short_answer_words:
+            return []
+        question = ""
+        if record:
+            question = record.get("question", record.get("prompt", ""))
+        prompt = EXTRACTION_PROMPT.replace("{question}", question)
+        prompt = prompt.replace("{answer}", text)
+        messages = [{"role": "system", "content": prompt}]
+        last_err = None
+        for _ in range(fail_limit):
+            try:
+                content = service.call_llm_with_messages(
+                    messages, temperature=0.0)
+                phrases = parse_object_list(content)
+                break
+            except (RuntimeError, ValueError) as e:
+                last_err = e
+        else:
+            raise RuntimeError(
+                f"object extraction failed after {fail_limit} tries: "
+                f"{last_err}")
+        objs: List[str] = []
+        for phrase in phrases:
+            for obj in extract_coco_objects(str(phrase), tables):
+                if obj not in objs:
+                    objs.append(obj)
+        return objs
+    return extract
 
 
 def evaluate_chair(
     responses: List[Dict],            # {'question_id'|'image_id', 'text'}
     gt_objects: Dict,                 # image_id → list of GT coco objects
     extract_objects_fn: Optional[Callable[[str], List[str]]] = None,
+    tables: Optional[SynonymTables] = None,
 ) -> Dict[str, float]:
-    extract = extract_objects_fn or extract_coco_objects
+    if extract_objects_fn is None:
+        extract = lambda text: extract_coco_objects(text, tables)  # noqa: E731
+    else:
+        extract = extract_objects_fn
+    # richer extractors (the GPT one) take the full record for the
+    # question context; plain ones take only the text
+    wants_record = (extract_objects_fn is not None and
+                    len(inspect.signature(extract).parameters) >= 2)
     n_resp = 0
     n_resp_hallu = 0
     n_inst = 0
@@ -201,7 +352,8 @@ def evaluate_chair(
     for rec in responses:
         img_id = rec.get("image_id", rec.get("question_id"))
         gts: Set[str] = {g.lower() for g in gt_objects.get(img_id, [])}
-        mentioned = extract(rec["text"])
+        mentioned = (extract(rec["text"], rec) if wants_record
+                     else extract(rec["text"]))
         total_words += len(rec["text"].split())
         n_resp += 1
         hallu = [m for m in mentioned if m not in gts]
@@ -227,6 +379,18 @@ def main():
     p.add_argument("--answers-file", required=True)
     p.add_argument("--gt-objects", required=True,
                    help="json: image_id → [coco object names]")
+    p.add_argument("--use-gpt-extraction", action="store_true",
+                   help="extract mentioned objects with the GPT-4 API "
+                        "(reference eval_gpt_obj_halbench.py gpt_process "
+                        "mode) instead of the regex+synonym matcher; "
+                        "needs API_KEY/AZURE_POINT env vars")
+    p.add_argument("--extraction-cache", default="obj_hal_extract.sqlite",
+                   help="sqlite cache for GPT extraction replies "
+                        "(makes interrupted runs resumable)")
+    p.add_argument("--synonyms-file", default=None,
+                   help="CHAIR synonyms table (synonyms_refine.txt "
+                        "format); defaults to the built-in MSCOCO-80 "
+                        "table")
     args = p.parse_args()
     responses = [json.loads(l) for l in open(args.answers_file)]
     gts = json.load(open(args.gt_objects))
@@ -234,7 +398,18 @@ def main():
     gts = {type(responses[0].get("image_id",
                                  responses[0].get("question_id")))(k)
            if k.isdigit() else k: v for k, v in gts.items()}
-    print(json.dumps(evaluate_chair(responses, gts), indent=2))
+    tables = (SynonymTables(load_synonym_file(args.synonyms_file))
+              if args.synonyms_file else None)
+    extractor = None
+    if args.use_gpt_extraction:
+        from opadpo_tpu.pipeline.gpt4v_client import get_api_service
+        extractor = make_gpt_extractor(
+            get_api_service(cache_path=args.extraction_cache),
+            tables=tables)
+    print(json.dumps(evaluate_chair(responses, gts,
+                                    extract_objects_fn=extractor,
+                                    tables=tables),
+                     indent=2))
 
 
 if __name__ == "__main__":
