@@ -35,6 +35,10 @@ def main():
                         "(model_vqa --continuous-slots; int8 KV)")
     p.add_argument("--judge", action="store_true",
                    help="run GPT-4 judge stages (needs API_KEY)")
+    p.add_argument("--objhal-gpt-extraction", action="store_true",
+                   help="Object-Hal: extract mentioned objects with the "
+                        "GPT-4 API (the reference's shipped mode) instead "
+                        "of the regex+synonym matcher (needs API_KEY)")
     args = p.parse_args()
 
     from opadpo_tpu.eval import model_vqa as mv
@@ -143,10 +147,21 @@ def main():
         infer(qs, afile, max_new_tokens=1024)
         gt_path = os.path.join(args.data_root, "objhal_gt_objects.json")
         if os.path.exists(gt_path):
-            from opadpo_tpu.eval.object_hal import evaluate_chair
+            from opadpo_tpu.eval.object_hal import (
+                evaluate_chair, make_gpt_extractor,
+            )
             responses = [json.loads(l) for l in open(afile)]
+            extractor = None
+            if args.objhal_gpt_extraction:
+                # the reference's shipped eval uses the GPT-4 extraction
+                # mode (eval_gpt_obj_halbench.py gpt_process=True)
+                from opadpo_tpu.pipeline.gpt4v_client import get_api_service
+                extractor = make_gpt_extractor(get_api_service(
+                    cache_path=os.path.join(args.output_dir,
+                                            "objhal_extract.sqlite")))
             results["objhal"] = evaluate_chair(responses,
-                                               json.load(open(gt_path)))
+                                               json.load(open(gt_path)),
+                                               extract_objects_fn=extractor)
 
     out = os.path.join(args.output_dir, "eval_results.json")
     with open(out, "w") as f:
