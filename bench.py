@@ -147,11 +147,13 @@ def bench_dpo_scoring(on_update=None) -> dict:
     return _scoring_record(results)
 
 
-def bench_rollout_decode(b: int = 16, steps: int = 896) -> dict:
+def bench_rollout_decode(b: int = 16, steps: int = 896,
+                         kv_bits: int = 8) -> dict:
     """Full-length rollout decode at the recommended decode config
-    (bits=4 base, int8 prompt-KV + fused decode kernel, int4 lm_head,
-    chunk=256) — reference hot loop #1 (HF ``generate`` 896 new tokens,
-    rl_models.py:146-191)."""
+    (bits=4 base, quantized prompt-KV + fused decode kernel, int4
+    lm_head, chunk=256) — reference hot loop #1 (HF ``generate`` 896 new
+    tokens, rl_models.py:146-191).  kv_bits 4 packs the prompt cache to
+    int4 (group-local half-split layout, 256-aligned)."""
     from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
     from opadpo_tpu.engine.sampler import decode_loop_unrolled
     from opadpo_tpu.engine.sampling import SamplingConfig
@@ -184,10 +186,12 @@ def bench_rollout_decode(b: int = 16, steps: int = 896) -> dict:
     # ceiling next to the int8 cache.  Preallocated at final length so
     # the chunk folds are in-place (fold_suffix_into_prompt_kv).
     s_prompt = 128 - 1 + cfg.num_patches
-    sp_pad0 = -(-s_prompt // 128) * 128
+    align = 256 if kv_bits == 4 else 128
+    sp_pad0 = -(-s_prompt // align) * align
     kv_total = sp_pad0 + (-(-steps // chunk) - 1) * chunk
     pf_fn = jax.jit(lambda p, q_, m_, im: llava_model.prefill_unrolled(
-        p, cfg, q_, m_, im, quantize_kv=True, kv_total_len=kv_total))
+        p, cfg, q_, m_, im, quantize_kv=True, kv_total_len=kv_total,
+        kv_bits=kv_bits))
     pf = pf_fn(params, jnp.asarray(q), jnp.ones_like(jnp.asarray(q)),
                images)
     _ = float(jnp.sum(pf["last_logits"]))
@@ -209,7 +213,7 @@ def bench_rollout_decode(b: int = 16, steps: int = 896) -> dict:
     def run(kv0, rng_key):
         # consumes kv0 (the folds donate it): callers pass a fresh
         # prefill cache per run — a held duplicate is the batch ceiling
-        sp_total = kv0[0][0]["q"].shape[2]
+        sp_total = kv0[0][0]["scale"].shape[2]
         pm = jnp.pad(pf["key_mask"],
                      ((0, 0), (0, sp_total - pf["key_mask"].shape[1])))
         kv, pos, ll = tuple(kv0), pf["next_position"], pf["last_logits"]
@@ -239,7 +243,8 @@ def bench_rollout_decode(b: int = 16, steps: int = 896) -> dict:
     dt = time.perf_counter() - t0
     return {"steps_per_sec": round(n / dt, 1),
             "tokens_per_sec": round(n * b / dt, 1),
-            "config": f"int4_kv8_head4_chunk{chunk}_b{b}_steps{steps}"}
+            "config": f"int4_kv{kv_bits}_head4_chunk{chunk}_b{b}"
+                      f"_steps{steps}"}
 
 
 def bench_serving(slots: int = 8, requests: int = 24,
