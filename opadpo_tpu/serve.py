@@ -328,8 +328,9 @@ def main():
                    help="continuous mode: max admission prefill batch — "
                         "cap at 1-2 for large models to keep HBM headroom")
     p.add_argument("--visual-tokens", type=int, default=0,
-                   help="training-free visual-token pruning: keep only "
-                        "the top-K projected patches (0 = all 576)")
+                   help="EXPERIMENTAL training-free visual-token pruning: "
+                        "keep only the top-K projected patches (0 = all "
+                        "576); quality unvalidated on real weights")
     args = p.parse_args()
 
     from opadpo_tpu.models.loader import load_peft_adapter
