@@ -377,7 +377,17 @@ def bench_sft_step(b: int = 4, seq: int = 1600, iters: int = 2,
         # A runtime OOM wedges the axon TPU service for hours (observed
         # 2026-08-17) — compile-only probe first and keep >=1.5 GB of
         # estimated headroom before executing an unproven (mode, batch).
-        compiled = step.lower(state, params, batch).compile()
+        # The compile itself can OOM (recoverable HTTP 500): fall back to
+        # B=1, the smallest honest bf16 measurement.
+        try:
+            compiled = step.lower(state, params, batch).compile()
+        except Exception as e:
+            if b > 1:
+                return bench_sft_step(b=1, seq=seq, iters=iters,
+                                      quant_mode="bf16")
+            return {"skipped": f"bf16 b{b} does not compile on 16 GB: "
+                               f"{str(e)[:120]}",
+                    "config": f"bf16_r64_b{b}_seq{seq}"}
         try:
             ma = compiled.memory_analysis()
             peak = (ma.argument_size_in_bytes + ma.output_size_in_bytes
@@ -385,6 +395,9 @@ def bench_sft_step(b: int = 4, seq: int = 1600, iters: int = 2,
         except Exception:
             peak = None
         if peak is not None and peak / 1e9 > 14.25:
+            if b > 1:
+                return bench_sft_step(b=1, seq=seq, iters=iters,
+                                      quant_mode="bf16")
             return {"skipped": f"bf16 b{b} est peak {peak/1e9:.2f} GB "
                                "> 14.25 GB headroom rule",
                     "config": f"bf16_r64_b{b}_seq{seq}"}

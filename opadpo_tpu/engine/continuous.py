@@ -25,9 +25,11 @@ under XLA's static-shape rules:
   (the prompt-read watermark ``sp_used`` is bucketed to limit recompiles).
 - FOLD: each row's new tokens are re-quantized and folded into the cache
   at that row's OWN fill offset — rows are at different lengths, so
-  unlike the rollout sampler's shared static offset this fold gathers the
-  suffix through per-row indices (one ``take_along_axis`` + ``where`` per
-  tensor; a full cache rewrite, amortized over ``seg_len`` steps).
+  unlike the rollout sampler's shared static offset this fold selects
+  suffix entries through per-row one-hot einsums over the suffix axis
+  (exact 0/1 int8 dots on the MXU; a sequence-axis ``take_along_axis``
+  over the cache measured ~40 s per fold on the chip) — a full cache
+  rewrite, amortized over ``seg_len`` steps.
 - ``kv_bits=4`` packs the pool cache (llama.quantize_prompt_kv_int4):
   half the HBM per slot → up to 2x the slots.  The per-row fold rebuilds
   each packed byte nibble-wise (old nibble outside the row's write
@@ -65,31 +67,44 @@ def fold_suffix_per_row(kv_list: list, suffix_list: list,
     ``llama.fold_suffix_into_prompt_kv`` (whose single static offset
     assumes every row is at the same length; continuous slots are not).
 
-    Implemented as a gather: for cache position j of row i, take suffix
-    slot ``j - row_len[i]`` when ``0 <= j - row_len[i] < n_valid[i]``,
-    else keep the existing entry.  One pass over the cache per fold —
-    bandwidth-bound and amortized over the segment; per-row
-    ``dynamic_update_slice`` would unroll B × L × 4 scatter programs.
-    Quantization is per-(row, position, head) (llama.quantize_prompt_kv)
-    so values are identical regardless of when a token is folded.
+    For cache position j of row i, take suffix slot ``j - row_len[i]``
+    when ``0 <= j - row_len[i] < n_valid[i]``, else keep the existing
+    entry.  The selection rides the MXU as a one-hot einsum over the
+    (small) suffix axis — NOT ``take_along_axis``: a sequence-axis
+    gather over the [B,H,S,hd] cache cost ~300 ms per tensor on the
+    chip (~40 s per fold across 32 layers, measured 2026-08-19; same
+    failure mode as the w8a8 outlier-gather lesson), while the one-hot
+    int8 dot is exact (0/1 weights, int32 accumulation) and trivial
+    FLOPs.  One pass over the cache per fold, amortized over the
+    segment.  Quantization is per-(row, position, head)
+    (llama.quantize_prompt_kv) so values are identical regardless of
+    when a token is folded.
     """
     b, s_total = pm.shape
     j = jax.lax.broadcasted_iota(jnp.int32, (b, s_total), 1)
     idx = j - row_len[:, None]                              # [B, S]
     in_rng = jnp.logical_and(idx >= 0, idx < n_valid[:, None])
     nseg = suffix_list[0][0].shape[1]
-    idx_c = jnp.clip(idx, 0, nseg - 1)
+    # [B, S, N] 0/1 selector: exact equality, zero outside the window
+    onehot = jnp.logical_and(
+        idx[:, :, None] == jnp.arange(nseg)[None, None, :],
+        in_rng[:, :, None])
+    oh8 = onehot.astype(jnp.int8)
+    ohf = onehot.astype(jnp.float32)
 
     new_kv = []
     for (pk, pv), (sk, sv) in zip(kv_list, suffix_list):
         row = []
         for pc, sc in ((pk, sk), (pv, sv)):
-            qc = llama_model.quantize_prompt_kv(sc)  # q [B,H,nseg,hd]
-            h, hd = qc["q"].shape[1], qc["q"].shape[3]
-            gi = jnp.broadcast_to(idx_c[:, None, :, None],
-                                  (b, h, s_total, hd))
-            gq = jnp.take_along_axis(qc["q"], gi, axis=2)
-            gs = jnp.take_along_axis(qc["scale"], idx_c[:, None, :], axis=2)
+            qc = llama_model.quantize_prompt_kv(sc)  # q [B,H,Sp_pad,hd]
+            # quantize pads Sp for kernel alignment — select only the
+            # real nseg suffix slots
+            gq = jnp.einsum("bsn,bhnd->bhsd", oh8, qc["q"][:, :, :nseg],
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.int8)
+            gs = jnp.einsum("bsn,bhn->bhs", ohf,
+                            qc["scale"][:, :, :nseg].astype(jnp.float32)
+                            ).astype(pc["scale"].dtype)
             row.append({
                 "q": jnp.where(in_rng[:, None, :, None], gq, pc["q"]),
                 "scale": jnp.where(in_rng[:, None, :], gs, pc["scale"]),
@@ -128,28 +143,41 @@ def fold_suffix_per_row_int4(kv_list: list, suffix_list: list,
     i_hi, in_hi = win(p_hi)
     i_sc, in_sc = win(j)
 
+    # one-hot selectors over the suffix axis (see fold_suffix_per_row:
+    # sequence-axis gathers cost ~300 ms/tensor on the chip; the exact
+    # 0/1 int8 einsum is effectively free)
+    ar = jnp.arange(nseg)[None, None, :]
+    oh_lo = jnp.logical_and((p_lo - row_len[:, None])[:, :, None] == ar,
+                            in_lo[:, :, None]).astype(jnp.int8)
+    oh_hi = jnp.logical_and((p_hi - row_len[:, None])[:, :, None] == ar,
+                            in_hi[:, :, None]).astype(jnp.int8)
+    oh_sc = jnp.logical_and((j - row_len[:, None])[:, :, None] == ar,
+                            in_sc[:, :, None]).astype(jnp.float32)
+
     new_kv = []
     for (pk, pv), (sk, sv) in zip(kv_list, suffix_list):
         row = []
         for pc, sc in ((pk, sk), (pv, sv)):
             qc = llama_model.quantize_prompt_kv_int4_values(sc)
-            h, hd = qc["qv"].shape[1], qc["qv"].shape[3]
+            # values in [-8, 7]; slice off any alignment padding
+            qv8 = qc["qv"][:, :, :nseg].astype(jnp.int8)
 
-            def gather_vals(i_pos):
-                gi = jnp.broadcast_to(i_pos[:, None, :, None],
-                                      (b, h, s_total // 2, hd))
-                return jnp.take_along_axis(qc["qv"], gi, axis=2)
+            def sel_vals(oh):
+                return jnp.einsum("bpn,bhnd->bhpd", oh, qv8,
+                                  preferred_element_type=jnp.int32)
 
             p32 = pc["q4"].astype(jnp.int32)
             old_lo = ((p32 & 0xF) ^ 8) - 8
             old_hi = p32 >> 4
             new_lo = jnp.where(in_lo[:, None, :, None],
-                               gather_vals(i_lo), old_lo)
+                               sel_vals(oh_lo), old_lo)
             new_hi = jnp.where(in_hi[:, None, :, None],
-                               gather_vals(i_hi), old_hi)
+                               sel_vals(oh_hi), old_hi)
             packed = (new_hi * 16 + (new_lo & 0xF)).astype(jnp.int8)
 
-            gs = jnp.take_along_axis(qc["scale"], i_sc[:, None, :], axis=2)
+            gs = jnp.einsum("bsn,bhn->bhs", oh_sc,
+                            qc["scale"][:, :, :nseg].astype(jnp.float32)
+                            ).astype(pc["scale"].dtype)
             row.append({
                 "q4": packed,
                 "scale": jnp.where(in_sc[:, None, :], gs, pc["scale"]),
