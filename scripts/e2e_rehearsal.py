@@ -207,8 +207,21 @@ def main() -> None:
     _pope_questions(qfile, img_dir, args.n_prompts)
     with timed("pope_eval"):
         cfg = LlavaConfig.tiny() if tiny else LlavaConfig.llava_7b()
-        params = jax.jit(
-            lambda: llava_model.init_params(jax.random.PRNGKey(0), cfg))()
+        if tiny:
+            params = jax.jit(lambda: llava_model.init_params(
+                jax.random.PRNGKey(0), cfg))()
+        else:
+            # bf16 7B params (14.2 GB) + KV cache do NOT fit this chip
+            # for decode — eval runs the int8 base like every other
+            # stage.  Fill the QUANTIZED shapes directly: a fused
+            # init->quantize program peaks at bf16+int8 HBM and OOMs.
+            import jax.numpy as jnp
+
+            from opadpo_tpu.ops import quant
+            shapes = jax.eval_shape(lambda: quant.quantize_params(
+                llava_model.init_params(jax.random.PRNGKey(0), cfg)))
+            params = jax.jit(lambda: jax.tree_util.tree_map(
+                lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
         run_inference(params, cfg, FakeTokenizer(),
                       list(iter_jsonl_questions(qfile)), img_dir, answers,
                       batch_size=4, max_new_tokens=8, temperature=0.0,
