@@ -1,0 +1,143 @@
+"""bench.py incremental-emission / budget logic (VERDICT r3 item 1).
+
+The chip-side benches cannot run under CI, but the structural guarantee
+— "the driver's artifact is never empty again" — lives in pure-Python
+logic that CAN: `_annotate` recomputes every derived field per emission
+so each printed line is a complete record on its own, and the hot-loop
+driver emits a cumulative line after EVERY loop, skipping loops the
+wall-clock budget can no longer fit with explicit markers.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_annotate_projects_both_numerics_variants():
+    bench = _load_bench()
+    rec = {
+        "config": "w8a8_b1_seq2048",
+        "hot_loops": {
+            "sft_step": {"seq_per_sec_chip": 1.917},
+            "sft_step_bf16": {"seq_per_sec_chip": 0.5},
+            "dpo_step": {"seconds_per_step": 3.477,
+                         "rollout_score_seconds": 1.06},
+        },
+    }
+    out = bench._annotate(dict(rec))
+    # OPA stage: 4800*2*2 sequences over 8 chips at the measured rate.
+    assert out["projected_v5e8_opa_stage_minutes"] == round(
+        (4800 * 2 * 2) / (8 * 1.917) / 60.0, 1)
+    assert "projected_v5e8_opa_stage_minutes_bf16" in out
+    assert out["reference_a100x4_opa_stage_minutes"] == 30.0
+    # DPO stage: 9600 pairs / B=2 / 8 chips, scoring + 2 policy steps.
+    sec = (9600 / 2 / 8) * (1.06 + 2 * 3.477)
+    assert out["projected_v5e8_dpo_stage_minutes"] == round(sec / 60.0, 1)
+
+
+def test_annotate_is_per_emission_idempotent():
+    """Each emitted line must be complete on its own — annotating a
+    record twice (as successive cumulative emissions do) cannot differ
+    from annotating it once."""
+    bench = _load_bench()
+    rec = {"config": "w8a8_b1",
+           "hot_loops": {"sft_step": {"seq_per_sec_chip": 2.0}}}
+    once = bench._annotate(dict(rec))
+    twice = bench._annotate(dict(once))
+    assert once == twice
+
+
+def test_annotate_picks_latest_quality_artifact(tmp_path, monkeypatch):
+    bench = _load_bench()
+    # _annotate globs QUALITY_r*.json next to bench.py; point it at a
+    # temp dir with two artifacts and check the LATEST round wins.
+    fake_bench = tmp_path / "bench.py"
+    fake_bench.write_text("")
+    (tmp_path / "QUALITY_r03.json").write_text(json.dumps(
+        {"scoring": {"w8a8": {"logprob_mae": 0.9}}}))
+    (tmp_path / "QUALITY_r04.json").write_text(json.dumps(
+        {"scoring": {"w8a8": {"logprob_mae": 0.0038,
+                              "lora_grad_cosine_vs_bf16": 0.999993}}}))
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda p: str(fake_bench))
+    out = bench._annotate({"config": "w8a8_b1_seq2048"})
+    assert out["quality_vs_bf16"]["logprob_mae"] == 0.0038
+    assert out["quality_vs_bf16"]["artifact"] == "QUALITY_r04.json"
+
+
+def test_budget_exhaustion_emits_marked_skips(monkeypatch, capsys):
+    """Drive main()'s hot-loop section with a tiny budget: every loop
+    after exhaustion must land as {"skipped": "budget"} and a cumulative
+    line must be printed after EVERY loop (the BENCH_r03 failure was one
+    print at the very end)."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "bench_dpo_scoring",
+                        lambda on_update=None: {
+                            "metric": "llava7b_dpo_score_tokens_per_sec",
+                            "value": 18102.0, "unit": "tokens/s",
+                            "vs_baseline": 1.65, "config": "w8a8_b1"})
+    calls = []
+
+    def fake_subprocess(name, timeout_s):
+        calls.append(name)
+        return {"tokens_per_sec": 1.0}
+
+    monkeypatch.setattr(bench, "_run_hot_loop_subprocess", fake_subprocess)
+    # Budget already exhausted when the hot loops start: scoring emits,
+    # then all five loops must be skipped-with-marker, never attempted.
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--budget-s", "0"])
+    bench.main()
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.strip().startswith("{")]
+    # >= 6 emissions: headline + one cumulative line per hot loop.
+    assert len(lines) >= 6
+    assert calls == []
+    final = lines[-1]
+    assert final["value"] == 18102.0
+    assert all(v == {"skipped": "budget"}
+               for v in final["hot_loops"].values())
+    # Every intermediate line is a parseable, headline-bearing record.
+    assert all(l.get("metric") == "llava7b_dpo_score_tokens_per_sec"
+               for l in lines)
+
+
+def test_generous_budget_runs_all_loops_and_writes_last_good(
+        monkeypatch, capsys, tmp_path):
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "bench_dpo_scoring",
+                        lambda on_update=None: {
+                            "metric": "llava7b_dpo_score_tokens_per_sec",
+                            "value": 18102.0, "unit": "tokens/s",
+                            "vs_baseline": 1.65, "config": "w8a8_b1"})
+    monkeypatch.setattr(bench, "_run_hot_loop_subprocess",
+                        lambda name, t: {"tokens_per_sec": 7.0})
+    fake_bench = tmp_path / "bench.py"
+    fake_bench.write_text("")
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda p: str(fake_bench))
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--budget-s", "100000"])
+    bench.main()
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.strip().startswith("{")]
+    final = lines[-1]
+    assert set(final["hot_loops"]) == set(bench._HOT_LOOPS)
+    assert all(v == {"tokens_per_sec": 7.0}
+               for v in final["hot_loops"].values())
+    # Fully-good run -> last-good record written atomically next to
+    # bench.py (the wedged-device diagnostic path serves it back).
+    with open(tmp_path / "bench_last_good.json") as f:
+        saved = json.load(f)
+    assert saved["result"]["value"] == 18102.0
