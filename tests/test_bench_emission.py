@@ -74,6 +74,12 @@ def test_annotate_picks_latest_quality_artifact(tmp_path, monkeypatch):
     out = bench._annotate({"config": "w8a8_b1_seq2048"})
     assert out["quality_vs_bf16"]["logprob_mae"] == 0.0038
     assert out["quality_vs_bf16"]["artifact"] == "QUALITY_r04.json"
+    # A NEWER artifact without a scoring section (decode-only partials
+    # like QUALITY_r04_decode.json) must not shadow the annotation.
+    (tmp_path / "QUALITY_r04_decode.json").write_text(json.dumps(
+        {"decode": {"kv8_first_step_logit_mae": 0.032}}))
+    out = bench._annotate({"config": "w8a8_b1_seq2048"})
+    assert out["quality_vs_bf16"]["artifact"] == "QUALITY_r04.json"
 
 
 def test_budget_exhaustion_emits_marked_skips(monkeypatch, capsys):
