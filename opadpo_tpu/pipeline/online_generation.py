@@ -136,7 +136,10 @@ def run(cfg: Config) -> None:
             acfg = json.load(f)
         lora_scaling = acfg["lora_alpha"] / acfg["r"]
 
-    if tiny:
+    if tiny or bool(cfg.get_path("debug.fake_tokenizer", False)):
+        # debug.fake_tokenizer: real model shapes with the character-level
+        # test tokenizer — for offline full-scale rehearsals (no tokenizer
+        # checkpoint on disk, zero egress; scripts/e2e_rehearsal.py)
         from tests.fake_tokenizer import FakeTokenizer
         tokenizer = FakeTokenizer()
     else:

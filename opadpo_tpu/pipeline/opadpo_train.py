@@ -151,7 +151,9 @@ def train(cfg: Config) -> None:
 
     # --- data ---
     tokenizer = None
-    if tiny:
+    if tiny or bool(cfg.get_path("debug.fake_tokenizer", False)):
+        # debug.fake_tokenizer: real model shapes, test tokenizer (offline
+        # full-scale rehearsals — scripts/e2e_rehearsal.py)
         from tests.fake_tokenizer import FakeTokenizer
         tokenizer = FakeTokenizer()
     else:

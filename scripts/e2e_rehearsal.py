@@ -122,7 +122,10 @@ def main() -> None:
 
     def base_cfg(out_dir, data_path, **training):
         return Config({
-            "debug": {"tiny": tiny},
+            # fake_tokenizer: full-scale shapes need a tokenizer but none
+            # ships offline — the character-level test tokenizer rehearses
+            # the identical compiled programs (ids stay inside the vocab)
+            "debug": {"tiny": tiny, "fake_tokenizer": True},
             "model": {"skip_loading_weights": True},
             "mesh": {"model": 1},
             "data": {"data_path": data_path},
