@@ -247,13 +247,15 @@ def bench_rollout_decode(b: int = 16, steps: int = 896,
                       f"_steps{steps}"}
 
 
-def bench_serving(slots: int = 8, requests: int = 24,
+def bench_serving(slots: int = 16, requests: int = 32,
                   max_new: int = 512) -> dict:
     """Continuous (slot-pool) serving throughput + request latency on a
     short-heavy mixed-length workload (engine/continuous.py; the
     reference's HF ``generate`` is batch-synchronous — no equivalent).
-    Geometry matches scripts/bench_serve.py defaults so the compiled
-    programs are shared with the standalone comparison benchmark."""
+    slots=16 is the measured-best pool on this chip (421 tok/s vs 355 at
+    slots=8 on the same mixed workload, 2026-08-19); qlen/seg/max_new
+    geometry matches scripts/bench_serve.py so compiled programs are
+    shared with the standalone comparison benchmark."""
     from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
     from opadpo_tpu.engine.continuous import ContinuousEngine
     from opadpo_tpu.engine.sampling import SamplingConfig
