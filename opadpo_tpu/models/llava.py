@@ -91,6 +91,42 @@ def init_params(key: jax.Array, cfg: LlavaConfig) -> dict:
     }
 
 
+def init_params_quantized(key: jax.Array, cfg: LlavaConfig,
+                          bits: int = 8) -> dict:
+    """Random-init params directly in quantized form, one jit program per
+    leaf subtree.
+
+    A single fused init->quantize program peaks at bf16 + int8 HBM
+    simultaneously (measured: OOMs a 16 GB chip at 7B); per piece, XLA
+    dead-code-eliminates every other tensor's init (each has its own
+    split key), so the peak is one bf16 layer stack (~2.9 GB at 7B) plus
+    its quantized form.  Used by ``skip_loading_weights`` full-scale runs
+    (the reference's debug hook, ``checkpoint_utils.py:64-66``) and the
+    quality benchmark."""
+    from opadpo_tpu.ops import quant
+
+    shapes = jax.eval_shape(
+        lambda: quant.quantize_params(init_params(key, cfg), bits=bits))
+
+    def piece(path):
+        def f():
+            q = quant.quantize_params(init_params(key, cfg), bits=bits)
+            for k in path:
+                q = q[k]
+            return q
+        return jax.jit(f)()
+
+    def is_quant_leaf(d):
+        return isinstance(d, dict) and set(d) <= {"q", "q4", "scale"}
+
+    def build(node, path):
+        if isinstance(node, dict) and not is_quant_leaf(node):
+            return {k: build(v, path + [k]) for k, v in node.items()}
+        return piece(path)
+
+    return {top: build(sub, [top]) for top, sub in shapes.items()}
+
+
 def init_lora(key: jax.Array, cfg: LlavaConfig, lora_cfg: LoraConfig,
               include_vision: bool = False) -> dict:
     """Named adapter pytree.  ``include_vision`` mirrors the OPA recipe's

@@ -119,7 +119,15 @@ def setup_model(
     elif skip_loading_weights or model_dir is None:
         cfg = (llava_config_from_hf(model_dir) if model_dir
                else LlavaConfig.llava_7b())
-        params = llava_model_mod.init_params(jax.random.PRNGKey(seed), cfg)
+        if bits in (4, 8):
+            # full-scale random init straight into quantized form: a
+            # fused init->quantize holds bf16 + int8 simultaneously and
+            # runtime-OOMs a 16 GB chip at 7B (E2E rehearsal, 2026-08-19)
+            params = llava_model_mod.init_params_quantized(
+                jax.random.PRNGKey(seed), cfg, bits=bits)
+        else:
+            params = llava_model_mod.init_params(jax.random.PRNGKey(seed),
+                                                 cfg)
     else:
         cfg = llava_config_from_hf(model_dir)
         params = load_llava_checkpoint(model_dir, cfg, vision_dir=vision_dir)
@@ -133,9 +141,17 @@ def setup_model(
 
     if bits in (4, 8):
         # QLoRA configuration: frozen int8/int4 base + bf16 adapters
-        # (reference bits=4/8 paths, qlora_model.py:151-160)
-        from opadpo_tpu.ops.quant import quantize_params
-        params = quantize_params(params, bits=bits)
+        # (reference bits=4/8 paths, qlora_model.py:151-160).  The
+        # skip_loading_weights full-scale branch above already built the
+        # quantized tree piecewise — detect and don't re-quantize.
+        def _has_quant_leaf(node):
+            if isinstance(node, dict):
+                return (set(node) <= {"q", "q4", "scale"}
+                        or any(_has_quant_leaf(v) for v in node.values()))
+            return False
+        if not _has_quant_leaf(params):
+            from opadpo_tpu.ops.quant import quantize_params
+            params = quantize_params(params, bits=bits)
     elif bits != 16:
         raise ValueError(f"bits={bits} unsupported (16, 8 or 4)")
     if act_bits == 8:

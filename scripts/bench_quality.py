@@ -53,39 +53,12 @@ def _init_bf16_params(cfg, seed=0):
 
 def _quantized_params(cfg, bits, seed=0):
     """Same weights as ``_init_bf16_params(seed)``, quantized, WITHOUT
-    ever materializing the full bf16 pytree on device: each weight
-    subtree is generated+quantized in its own program (init_params draws
-    every tensor from an independent split key, so XLA dead-code-
-    eliminates the rest of the init).  One fused whole-model program was
-    measured to peak at bf16+int8 simultaneously and OOM the 16 GB chip;
-    per-piece the peak is one bf16 layer stack (~2.9 GB) + its quantized
-    form."""
+    ever materializing the full bf16 pytree on device (the piecewise
+    builder lives in the product now — models/llava.py, also used by
+    ``skip_loading_weights`` full-scale runs)."""
     from opadpo_tpu.models import llava as llava_model
-    from opadpo_tpu.ops import quant
-
-    shapes = jax.eval_shape(lambda: quant.quantize_params(
-        llava_model.init_params(jax.random.PRNGKey(seed), cfg),
-        bits=bits))
-
-    def piece(path):
-        def f():
-            q = quant.quantize_params(
-                llava_model.init_params(jax.random.PRNGKey(seed), cfg),
-                bits=bits)
-            for k in path:
-                q = q[k]
-            return q
-        return jax.jit(f)()
-
-    def is_quant_dict(d):
-        return isinstance(d, dict) and set(d) <= {"q", "q4", "scale"}
-
-    def build(node, path):
-        if isinstance(node, dict) and not is_quant_dict(node):
-            return {k: build(v, path + [k]) for k, v in node.items()}
-        return piece(path)
-
-    return {top: build(sub, [top]) for top, sub in shapes.items()}
+    return llava_model.init_params_quantized(
+        jax.random.PRNGKey(seed), cfg, bits=bits)
 
 
 def _lora(cfg, lora_cfg, seed=5):

@@ -70,7 +70,15 @@ def main():
                         "analysis WITHOUT executing — a runtime OOM can "
                         "wedge the TPU service for ~30-60 min, so probe "
                         "new (model, batch) points first")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="wrap the timed iterations in jax.profiler.trace "
+                        "(device op events DO land over the axon tunnel — "
+                        "CLAUDE.md; summarize with scripts/summarize_trace.py)")
     args = p.parse_args()
+
+    import contextlib
+    profile_ctx = (lambda: jax.profiler.trace(args.profile)) \
+        if args.profile else contextlib.nullcontext
 
     from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
     from opadpo_tpu.engine.dpo import (
@@ -157,9 +165,10 @@ def main():
         state, stats = step(state, params, sft_batch)
         _ = float(stats["loss/total"])
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            state, stats = step(state, params, sft_batch)
-        _ = float(stats["loss/total"])
+        with profile_ctx():
+            for _ in range(args.iters):
+                state, stats = step(state, params, sft_batch)
+            _ = float(stats["loss/total"])
         dt = (time.perf_counter() - t0) / args.iters
         print(f"OPA SFT step (B={b * 2}, seq~{seq}): {dt:.2f} s "
               f"= {b * 2 / dt:.2f} seq/s/chip")
@@ -203,9 +212,10 @@ def main():
     state, stats = step(state, params, full_batch)
     _ = float(stats["loss/total"])
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        state, stats = step(state, params, full_batch)
-    _ = float(stats["loss/total"])
+    with profile_ctx():
+        for _ in range(args.iters):
+            state, stats = step(state, params, full_batch)
+        _ = float(stats["loss/total"])
     dt = (time.perf_counter() - t0) / args.iters
     print(f"DPO train step (CoPO+AncPO, r={args.lora_rank}, B={b}): "
           f"{dt:.2f} s")

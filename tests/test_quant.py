@@ -434,3 +434,50 @@ def test_int4_fused_layout_and_dpo_step():
                                       dpo)
     assert np.isfinite(float(stats["loss/total"]))
     assert float(stats["loss/grad_norm"]) > 0
+
+
+def test_init_params_quantized_matches_fused_quantize():
+    """Piecewise init->quantize (one program per subtree, the OOM-safe
+    path for full-scale skip_loading_weights) must agree with the fused
+    quantize: identical structure/dtypes, bit-equal unquantized leaves,
+    and dequantized weights within one quantization step (the per-piece
+    programs fuse the scale max-reduction differently -> +/-1 ulp scale
+    -> +/-1 int8 step; semantically the same weights)."""
+    from opadpo_tpu.ops.quant import quantize_params
+
+    fused = quantize_params(
+        llava_model.init_params(jax.random.PRNGKey(0), CFG), bits=8)
+    piecewise = llava_model.init_params_quantized(
+        jax.random.PRNGKey(0), CFG, bits=8)
+
+    fa = jax.tree_util.tree_leaves_with_path(fused)
+    pa = jax.tree_util.tree_leaves_with_path(piecewise)
+    assert [jax.tree_util.keystr(k) for k, _ in fa] == \
+           [jax.tree_util.keystr(k) for k, _ in pa]
+    for (kpath, a), (_, b) in zip(fa, pa):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape and a.dtype == b.dtype, \
+            jax.tree_util.keystr(kpath)
+        if a.dtype == np.int8:
+            assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() \
+                <= 1, jax.tree_util.keystr(kpath)
+        else:
+            # scales and bf16 leaves: eager-vs-jit fusion differences
+            # round the last ulp differently
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-2, atol=1e-4, err_msg=jax.tree_util.keystr(kpath))
+
+
+def test_setup_model_skip_loading_does_not_double_quantize():
+    """setup_model's skip_loading_weights branch builds quantized params
+    piecewise; the generic bits-in-(4,8) quantize below it must detect
+    the already-quantized tree and leave it alone (tiny keeps the fused
+    path, exercising the detection on a REAL quantized tree)."""
+    from opadpo_tpu.pipeline.runtime import setup_model
+
+    cfg, params, _ = setup_model(None, tiny=True, bits=8)
+    leaf = params["llama"]["layers"]["wq"]
+    assert set(leaf) == {"q", "scale"} and leaf["q"].dtype == jnp.int8
+    # a second quantize would have produced {"q": {"q": ...}} nesting
+    assert not isinstance(leaf["q"], dict)
