@@ -124,7 +124,17 @@ def run(cfg: Config) -> None:
         mesh_config=MeshConfig(model=int(cfg.get_path("mesh.model", 1))),
         skip_loading_weights=bool(cfg.get_path("model.skip_loading_weights",
                                                False)),
-        tiny=tiny)
+        tiny=tiny,
+        seed=int(t.get("seed", 42)),
+        # honor the numerics config like the trainers do: the bf16 7B
+        # base (14.2 GB) + a decode KV cache does not fit a 16 GB chip —
+        # rollout must be able to run the quantized base (CLAUDE.md;
+        # found when the E2E rehearsal's rollout stage runtime-OOMed)
+        bits=int(t.get("bits", 16)),
+        act_bits=int(t.get("act_bits", 16)),
+        act_outlier_cols=int(t.get("act_outlier_cols", 0)),
+        act_bwd_int8=bool(t.get("act_bwd_int8", False)),
+        fused_attention=bool(t.get("fused_attention", True)))
 
     lora = None
     lora_scaling = 1.0
