@@ -637,11 +637,13 @@ def _annotate(result: dict) -> dict:
             try:
                 with open(qpath) as f:
                     q = json.load(f)
-            except Exception as e:
-                print(f"quality annotation failed: {e}", file=sys.stderr)
-                continue
-            entry = q.get("scoring", {}).get(mode)
-            if entry:
+                # everything below must stay inside the try: a malformed
+                # artifact (non-dict top level, non-dict scoring entry)
+                # must never crash emit() — an unprinted JSON line is the
+                # BENCH_r03 failure mode this file exists to prevent
+                entry = q.get("scoring", {}).get(mode)
+                if not entry:
+                    continue
                 result["quality_vs_bf16"] = {
                     "mode": mode,
                     "logprob_mae": entry.get("logprob_mae"),
@@ -651,6 +653,9 @@ def _annotate(result: dict) -> dict:
                     "artifact": os.path.basename(qpath),
                 }
                 break
+            except Exception as e:
+                print(f"quality annotation failed: {e}", file=sys.stderr)
+                continue
     return result
 
 
@@ -733,8 +738,17 @@ def main():
     # when FULLY good (a mid-bench wedge would otherwise clobber the
     # genuine record with one whose hot loops are all errors), and
     # written atomically (a truncated file would corrupt the fallback)
-    degraded = any(("error" in v or "skipped" in v)
-                   for v in hot_loops.values())
+    def _degrading(v: dict) -> bool:
+        # A loop blocks the last-good snapshot only when something went
+        # WRONG: an error, a budget starvation, or an execution failure.
+        # Deliberate capability skips (bf16 7B SFT does not compile on
+        # 16 GB — the documented permanent outcome) must not stop the
+        # record from refreshing, or it would go stale forever.
+        if "error" in v:
+            return True
+        sk = v.get("skipped", "")
+        return sk == "budget" or "failed" in sk
+    degraded = any(_degrading(v) for v in hot_loops.values())
     if not degraded:
         try:
             tmp = last_good_path + ".tmp"

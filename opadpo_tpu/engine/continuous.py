@@ -135,13 +135,14 @@ def fold_suffix_per_row_int4(kv_list: list, suffix_list: list,
     j = jax.lax.broadcasted_iota(jnp.int32, (b, s_total), 1)
 
     def win(pos):
+        # in-window mask only: the one-hot rewrite below replaced the
+        # clipped take_along_axis gathers, so no index tensor is needed
         idx = pos - row_len[:, None]
-        return jnp.clip(idx, 0, nseg - 1), \
-            jnp.logical_and(idx >= 0, idx < n_valid[:, None])
+        return jnp.logical_and(idx >= 0, idx < n_valid[:, None])
 
-    i_lo, in_lo = win(p_lo)
-    i_hi, in_hi = win(p_hi)
-    i_sc, in_sc = win(j)
+    in_lo = win(p_lo)
+    in_hi = win(p_hi)
+    in_sc = win(j)
 
     # one-hot selectors over the suffix axis (see fold_suffix_per_row:
     # sequence-axis gathers cost ~300 ms/tensor on the chip; the exact

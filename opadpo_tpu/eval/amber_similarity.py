@@ -77,15 +77,21 @@ _PAIR_SCORES = {frozenset((a, b)): s for a, b, s in _PAIRS}
 
 _PLURAL_RULES = (
     ("ies", "y"), ("ves", "f"), ("sses", "ss"), ("shes", "sh"),
-    ("ches", "ch"), ("xes", "x"), ("oes", "o"), ("s", ""),
+    ("ches", "ch"), ("xes", "x"), ("oes", "o"), ("es", ""), ("s", ""),
 )
 
 
-def _lemma(word: str) -> str:
+def _lemma_candidates(word: str) -> set:
+    """The word plus EVERY plural-rule stripping that applies.  Single
+    first-match stripping mis-lemmatizes singulars that end in s
+    ("glass" -> "glas" while "glasses" -> "glass", so the pair missed):
+    comparing candidate SETS lets one side's over-strip meet the other
+    side's correct form ("horses" -> {hors, horse} meets {horse})."""
+    cands = {word}
     for suffix, repl in _PLURAL_RULES:
         if word.endswith(suffix) and len(word) > len(suffix) + 1:
-            return word[: -len(suffix)] + repl
-    return word
+            cands.add(word[: -len(suffix)] + repl)
+    return cands
 
 
 def bundled_similarity(word1: str, word2: str) -> float:
@@ -94,7 +100,7 @@ def bundled_similarity(word1: str, word2: str) -> float:
     w1, w2 = word1.lower(), word2.lower()
     if w1 == w2:
         return 1.0
-    if _lemma(w1) == _lemma(w2):
+    if _lemma_candidates(w1) & _lemma_candidates(w2):
         # plural/singular variants ("dogs"/"dog"): vectors score these
         # ~0.85-0.95; well above every sane threshold
         return 0.95

@@ -260,7 +260,7 @@ in the picture, under these rules:
 2. Give bare object names, leaving out any attributes.
 3. Drop qualities such as color or material from each name.
 4. Be exact. Reply with a JSON list of strings: ["object_1", ..., "object_n"].
-5. Reply with an empty JSON list () when the answer names no visible objects.
+5. Reply with an empty JSON list [] when the answer names no visible objects.
 """
 
 
@@ -306,10 +306,14 @@ def make_gpt_extractor(service, fail_limit: int = 5,
         prompt = prompt.replace("{answer}", text)
         messages = [{"role": "system", "content": prompt}]
         last_err = None
-        for _ in range(fail_limit):
+        for attempt in range(fail_limit):
             try:
+                # the sqlite cache stores ANY 200 reply before it is
+                # parsed — a cached malformed reply would replay
+                # identically forever, so retries after a parse failure
+                # must bypass the cache (a fresh success re-caches)
                 content = service.call_llm_with_messages(
-                    messages, temperature=0.0)
+                    messages, temperature=0.0, use_cache=(attempt == 0))
                 phrases = parse_object_list(content)
                 break
             except (RuntimeError, ValueError) as e:
@@ -338,9 +342,11 @@ def evaluate_chair(
     else:
         extract = extract_objects_fn
     # richer extractors (the GPT one) take the full record for the
-    # question context; plain ones take only the text
+    # question context, marked by a parameter literally named "record" —
+    # arity alone would misroute (text, tables)-style extractors by
+    # binding the record dict to their second positional parameter
     wants_record = (extract_objects_fn is not None and
-                    len(inspect.signature(extract).parameters) >= 2)
+                    "record" in inspect.signature(extract).parameters)
     n_resp = 0
     n_resp_hallu = 0
     n_inst = 0

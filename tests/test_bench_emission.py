@@ -147,3 +147,55 @@ def test_generous_budget_runs_all_loops_and_writes_last_good(
     with open(tmp_path / "bench_last_good.json") as f:
         saved = json.load(f)
     assert saved["result"]["value"] == 18102.0
+
+
+def test_capability_skip_does_not_block_last_good(
+        monkeypatch, capsys, tmp_path):
+    """A deliberate capability skip (bf16 7B SFT does not compile on this
+    chip — the documented permanent outcome) must not stop the last-good
+    snapshot from refreshing; budget skips and failures must."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "bench_dpo_scoring",
+                        lambda on_update=None: {
+                            "metric": "llava7b_dpo_score_tokens_per_sec",
+                            "value": 1.0, "unit": "tokens/s",
+                            "vs_baseline": 1.0, "config": "w8a8_b1"})
+    results = {"sft_step_bf16": {
+        "skipped": "bf16 b1 does not compile on 16 GB: ..."}}
+    monkeypatch.setattr(bench, "_run_hot_loop_subprocess",
+                        lambda name, t: results.get(
+                            name, {"tokens_per_sec": 7.0}))
+    fake_bench = tmp_path / "bench.py"
+    fake_bench.write_text("")
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda p: str(fake_bench))
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--budget-s", "100000"])
+    bench.main()
+    capsys.readouterr()
+    assert (tmp_path / "bench_last_good.json").exists()
+
+    # an execution FAILURE in the same loop does block the snapshot
+    results["sft_step_bf16"] = {
+        "skipped": "bf16 b1 failed at execution: RESOURCE_EXHAUSTED"}
+    (tmp_path / "bench_last_good.json").unlink()
+    bench.main()
+    capsys.readouterr()
+    assert not (tmp_path / "bench_last_good.json").exists()
+
+
+def test_malformed_quality_artifact_cannot_crash_emit(
+        tmp_path, monkeypatch):
+    """A QUALITY_r*.json with a non-dict top level (or garbage scoring
+    entry) must be skipped, never crash the emission path — an unprinted
+    JSON line is the BENCH_r03 failure mode."""
+    bench = _load_bench()
+    fake_bench = tmp_path / "bench.py"
+    fake_bench.write_text("")
+    (tmp_path / "QUALITY_r03.json").write_text(json.dumps(
+        {"scoring": {"w8a8": {"logprob_mae": 0.0038}}}))
+    (tmp_path / "QUALITY_r09.json").write_text(json.dumps([1, 2, 3]))
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda p: str(fake_bench))
+    out = bench._annotate({"config": "w8a8_b1"})
+    assert out["quality_vs_bf16"]["artifact"] == "QUALITY_r03.json"

@@ -487,3 +487,65 @@ def test_gpt_extraction_retry_then_raise():
     with pytest.raises(RuntimeError, match="after 3 tries"):
         extract("a long enough answer with many words here")
     assert len(svc.calls) == 3
+
+
+def test_bundled_similarity_singular_s_words():
+    """Singulars that themselves end in s must still match their plural
+    (first-match suffix stripping turned 'glass' into 'glas' while
+    'glasses' became 'glass', missing the pair)."""
+    from opadpo_tpu.eval.amber_similarity import bundled_similarity as sim
+    for a, b in [("glass", "glasses"), ("bus", "buses"),
+                 ("horse", "horses"), ("dish", "dishes"),
+                 ("box", "boxes")]:
+        assert sim(a, b) > 0.8, (a, b)
+    assert sim("glass", "grass") <= 0.8
+
+
+def test_gpt_extraction_retries_bypass_poisoned_cache():
+    """The sqlite cache stores any 200 reply BEFORE parsing; retries
+    after a parse failure must bypass the cache or a malformed cached
+    reply replays forever (and poisons the resume path)."""
+    from opadpo_tpu.eval.object_hal import make_gpt_extractor
+
+    class _Healing:
+        def __init__(self):
+            self.cache_hits = 0
+            self.fresh = 0
+
+        def call_llm_with_messages(self, messages, temperature=0.0,
+                                   max_tokens=2048, use_cache=True):
+            if use_cache:
+                self.cache_hits += 1
+                return "()"        # malformed cached reply
+            self.fresh += 1
+            return '["dog", "frisbee"]'
+
+    svc = _Healing()
+    extract = make_gpt_extractor(svc, fail_limit=3)
+    objs = extract("A dog catches a frisbee in the park today.")
+    assert objs == ["dog", "frisbee"]
+    assert svc.cache_hits == 1 and svc.fresh == 1
+
+
+def test_two_arg_text_extractor_not_misrouted():
+    """An extractor whose second parameter is NOT named 'record' (e.g.
+    the (text, tables) shape of extract_coco_objects) must be called
+    text-only — arity-based routing bound the record dict to tables."""
+    from opadpo_tpu.eval.object_hal import (
+        SynonymTables, evaluate_chair, extract_coco_objects,
+    )
+    responses = [{"image_id": 1, "text": "A dog sits on a couch."}]
+    gts = {1: ["dog", "couch"]}
+    m = evaluate_chair(responses, gts,
+                       extract_objects_fn=extract_coco_objects)
+    assert m["CHAIRi"] == 0.0 and m["object_recall"] == 100.0
+
+    # and a 'record'-named parameter still receives the full record
+    seen = []
+
+    def rec_extract(text, record=None):
+        seen.append(record)
+        return ["dog"]
+
+    evaluate_chair(responses, gts, extract_objects_fn=rec_extract)
+    assert seen and seen[0]["image_id"] == 1
