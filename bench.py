@@ -574,21 +574,30 @@ def _run_hot_loop_subprocess(name: str, timeout_s: float) -> dict:
     return {"error": (proc.stderr or "no output")[-200:]}
 
 
-def _probe_device(timeout_s: int = 240) -> bool:
+def _probe_device(timeout_s: int = 420, attempts: int = 2) -> bool:
     """A device-side OOM can wedge the axon TPU service for an hour
     (observed twice) and a wedged service HANGS rather than erroring —
     which would stall this whole bench.  Probe with a tiny transfer in a
-    subprocess so a wedged service fails fast and visibly."""
+    subprocess so a wedged service fails fast and visibly.
+
+    Two generous attempts, not one tight one: a HEALTHY probe measured
+    152 s under CPU contention (2026-08-19 — a parallel pytest run), so
+    a 240 s single shot false-negatived the whole bench into the
+    diagnostic path.  A truly wedged service still fails both attempts
+    well inside the driver's window."""
     import subprocess
     code = ("import numpy as np, jax\n"
             "x = jax.device_put(np.ones((8, 8), np.float32))\n"
             "assert float(np.asarray(x).sum()) == 64.0\n")
-    try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, timeout=timeout_s)
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(attempts):
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, timeout=timeout_s)
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def _annotate(result: dict) -> dict:
