@@ -74,6 +74,11 @@ class DpoConfig:
     query_len: int = 128
     pad_token_id: int = 0
     lora_scaling: float = 2.0                 # alpha 512 / r 256
+    # Shared-prefix scoring: run the (query + image) prefix ONCE per
+    # example and attend the K response types to it with the rectangular
+    # offset-causal flash kernel — numerically identical to the stacked
+    # forward, ~29% fewer matmul positions at production shapes.
+    shared_prefix: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -101,6 +106,11 @@ def score_responses(
     k = len(responses)
     r = responses[0].shape[1]
     scaling = dpo.lora_scaling
+
+    if dpo.shared_prefix:
+        return _score_responses_shared(
+            params, cfg, dpo, queries, query_mask, images, responses,
+            response_masks, lora, image_key_mask, remat, with_entropy)
 
     image_feats = llava_model.encode_images(params, cfg, images, lora, scaling)
     image_feats = jnp.concatenate([image_feats] * k, axis=0)
@@ -143,6 +153,76 @@ def score_responses(
     if with_entropy:
         ent = ent * resp_mask
         out["entropies"] = tuple(ent[i * b:(i + 1) * b] for i in range(k))
+    return out
+
+
+def _score_responses_shared(
+    params: dict,
+    cfg: LlavaConfig,
+    dpo: DpoConfig,
+    queries: jax.Array,
+    query_mask: jax.Array,
+    images: jax.Array,
+    responses: Tuple[jax.Array, ...],
+    response_masks: Tuple[jax.Array, ...],
+    lora: Optional[dict],
+    image_key_mask: Optional[jax.Array],
+    remat: bool,
+    with_entropy: bool,
+) -> Dict[str, Any]:
+    """Shared-prefix variant of ``score_responses``: the spliced
+    (query + image) prefix runs through the decoder ONCE per example and
+    the K responses attend to it (``llama.forward_shared_prefix``).
+    Responses are stacked B-MAJOR (row = b·K + t) so prefix repeats and
+    data-axis shards stay aligned; outputs un-stack accordingly.
+    Numerically identical to the stacked layout — responses never attend
+    to each other there either."""
+    b, lq = queries.shape
+    k = len(responses)
+    r = responses[0].shape[1]
+    scaling = dpo.lora_scaling
+
+    image_feats = llava_model.encode_images(params, cfg, images, lora,
+                                            scaling)
+    text_embeds = llama_model.embed_tokens(params["llama"], queries)
+    pos = llava_model.splice_positions(queries)
+    prefix_embeds, prefix_mask, _ = llava_model.splice_sequence(
+        text_embeds, image_feats.astype(text_embeds.dtype), query_mask, pos,
+        image_mask=image_key_mask)
+    prefix_positions = jnp.maximum(
+        jnp.cumsum(prefix_mask, axis=1) - 1, 0).astype(jnp.int32)
+
+    ids_r = jnp.stack(responses, axis=1).reshape(b * k, r)
+    mask_r = jnp.stack(response_masks, axis=1).reshape(b * k, r)
+    resp_embeds = llama_model.embed_tokens(params["llama"], ids_r)
+    prefix_valid = jnp.sum(prefix_mask, axis=1).astype(jnp.int32)   # [B]
+    resp_positions = jnp.maximum(
+        jnp.repeat(prefix_valid, k, axis=0)[:, None]
+        + jnp.cumsum(mask_r.astype(jnp.int32), axis=1) - 1, 0
+    ).astype(jnp.int32)
+
+    llama_lora = tree_get(lora, "llama")
+    hp, hr = llama_model.forward_shared_prefix(
+        params["llama"], cfg.llama, prefix_embeds, prefix_mask,
+        prefix_positions, resp_embeds, mask_r, resp_positions,
+        lora=llama_lora, lora_scaling=scaling, remat=remat)
+
+    # positions that predict response token j: the prefix's last slot
+    # (valid — queries are LEFT-padded) then response slots 0..r-2
+    hidden = jnp.concatenate(
+        [jnp.repeat(hp[:, -1:, :], k, axis=0), hr[:, :-1, :]], axis=1)
+    logprobs, ent = per_token_logprobs_chunked(
+        hidden, params["llama"]["lm_head"], ids_r,
+        dpo.pad_token_id, temperature=dpo.temperature,
+        with_entropy=with_entropy,
+        head_lora=tree_get(llama_lora, "lm_head"), lora_scaling=scaling)
+    logprobs = logprobs * mask_r.astype(jnp.float32)
+
+    lp_bk = logprobs.reshape(b, k, r)
+    out = {"logprobs": tuple(lp_bk[:, i] for i in range(k))}
+    if with_entropy:
+        ent = (ent * mask_r.astype(jnp.float32)).reshape(b, k, r)
+        out["entropies"] = tuple(ent[:, i] for i in range(k))
     return out
 
 

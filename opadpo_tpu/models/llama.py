@@ -400,6 +400,133 @@ def forward(
     return logits, new_cache
 
 
+def forward_shared_prefix(
+    params: dict,
+    cfg: LlamaConfig,
+    prefix_embeds: jax.Array,      # [B, Sp, D]
+    prefix_mask: jax.Array,        # [B, Sp]
+    prefix_positions: jax.Array,   # [B, Sp] int32
+    resp_embeds: jax.Array,        # [K*B, Sr, D] — B-MAJOR (row b*K + t)
+    resp_mask: jax.Array,          # [K*B, Sr]
+    resp_positions: jax.Array,     # [K*B, Sr] int32
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+    remat: bool = True,
+    attn_impl: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """Decoder forward over a shared prefix and K responses per example.
+
+    DPO scoring runs K response types against one (query + image) prefix
+    per example; the stacked layout (``score_responses``) recomputes that
+    prefix K times.  Here the prefix stream [B, Sp] runs ONCE and the
+    response stream [K·B, Sr] attends to [prefix ++ self] with the
+    rectangular offset-causal flash kernel — numerically identical to the
+    stacked forward (responses never attend to each other), ~29% fewer
+    matmul positions at the production shapes (Sp=703, Sr=896, K=3).
+
+    Responses must be stacked B-major (row = b·K + t) so the per-row
+    prefix repeat aligns — including per-shard under data parallelism.
+    Returns final-norm hidden states ``(hp [B, Sp, D], hr [K*B, Sr, D])``;
+    callers assemble the readout from hp's last position + hr[:, :-1].
+    """
+    b, sp, d = prefix_embeds.shape
+    kb, sr, _ = resp_embeds.shape
+    kk = kb // b
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    max_rope = int(cfg.max_position_embeddings)
+    cos, sin = rope_frequencies(cfg.head_dim, max_rope, cfg.rope_base,
+                                dtype=jnp.float32)
+
+    layers = params["layers"]
+    lora_layers = tree_get(lora, "layers")
+    has_lora = lora_layers is not None
+
+    use_fused = (_use_fused_flash(attn_impl, sp + sr, b, nh, nkv, hd)
+                 and _use_fused_flash(attn_impl, sp + sr, kb, nh, nkv, hd))
+
+    def attention_pair(hp, hr, lp, ll):
+        qp, kp, vp = _qkv_proj(hp, lp, ll, cfg, lora_scaling)
+        qr, kr, vr = _qkv_proj(hr, lp, ll, cfg, lora_scaling)
+
+        if use_fused:
+            from opadpo_tpu.ops.attention import flash_attention_fused_shared
+            return flash_attention_fused_shared(
+                qp, kp, vp, qr, kr, vr, cos, sin, prefix_positions,
+                resp_positions, nh, prefix_mask, resp_mask,
+                num_kv_heads=nkv)
+
+        qp = qp.reshape(b, sp, nh, hd)
+        kp = kp.reshape(b, sp, nkv, hd)
+        vp = vp.reshape(b, sp, nkv, hd)
+        qr = qr.reshape(kb, sr, nh, hd)
+        kr = kr.reshape(kb, sr, nkv, hd)
+        vr = vr.reshape(kb, sr, nkv, hd)
+        qp, kp = apply_rope(qp, kp, cos, sin, prefix_positions)
+        qr, kr = apply_rope(qr, kr, cos, sin, resp_positions)
+        if nkv != nh:
+            rep = nh // nkv
+            kp = jnp.repeat(kp, rep, axis=2)
+            vp = jnp.repeat(vp, rep, axis=2)
+            kr = jnp.repeat(kr, rep, axis=2)
+            vr = jnp.repeat(vr, rep, axis=2)
+
+        op = multi_head_attention(qp, kp, vp, key_mask=prefix_mask,
+                                  causal=True, impl=attn_impl)
+        kcat = jnp.concatenate([jnp.repeat(kp, kk, axis=0), kr], axis=1)
+        vcat = jnp.concatenate([jnp.repeat(vp, kk, axis=0), vr], axis=1)
+        mcat = jnp.concatenate(
+            [jnp.repeat(prefix_mask.astype(jnp.int32), kk, axis=0),
+             resp_mask.astype(jnp.int32)], axis=1)
+
+        from opadpo_tpu.ops.attention import (
+            MAX_FLASH_SEQ, flash_attention_prefix, get_default_impl,
+            get_tp_mesh,
+        )
+        impl = get_default_impl() if attn_impl == "auto" else attn_impl
+        use_flash_rect = (
+            impl != "xla"
+            and jax.default_backend() == "tpu"
+            and get_tp_mesh() is None
+            and kcat.shape[1] <= MAX_FLASH_SEQ)
+        if use_flash_rect:
+            orr = flash_attention_prefix(qr, kcat, vcat, key_mask=mcat)
+        else:
+            # mha_reference's causal offset (Skv - Sq == Sp) is exactly
+            # the shared-prefix visibility rule, and GSPMD partitions it
+            orr = mha_reference(qr, kcat, vcat, key_mask=mcat, causal=True)
+        return op.reshape(b, sp, nh * hd), orr.reshape(kb, sr, nh * hd)
+
+    def layer_core(xp, xr, lp, ll):
+        hp = rms_norm(xp, lp["attn_norm"], cfg.rms_norm_eps)
+        hr = rms_norm(xr, lp["attn_norm"], cfg.rms_norm_eps)
+        op2, or2 = attention_pair(hp, hr, lp, ll)
+        wo_l = tree_get(ll, "wo")
+        xp = xp + lora_dense(op2, lp["wo"], wo_l, lora_scaling)
+        xr = xr + lora_dense(or2, lp["wo"], wo_l, lora_scaling)
+        hp = rms_norm(xp, lp["mlp_norm"], cfg.rms_norm_eps)
+        hr = rms_norm(xr, lp["mlp_norm"], cfg.rms_norm_eps)
+        xp = xp + _mlp_block(hp, lp, ll, lora_scaling, cfg)
+        xr = xr + _mlp_block(hr, lp, ll, lora_scaling, cfg)
+        return xp, xr
+
+    xs = (layers, lora_layers) if has_lora else layers
+
+    def body(carry, scanned):
+        if has_lora:
+            lp, ll = scanned
+        else:
+            lp, ll = scanned, None
+        xp, xr = layer_core(carry[0], carry[1], lp, ll)
+        return (xp, xr), None
+
+    body_fn = jax.checkpoint(body) if remat else body
+    (xp, xr), _ = jax.lax.scan(body_fn, (prefix_embeds, resp_embeds), xs)
+
+    hp = rms_norm(xp, params["final_norm"], cfg.rms_norm_eps)
+    hr = rms_norm(xr, params["final_norm"], cfg.rms_norm_eps)
+    return hp, hr
+
+
 def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
     """Token embedding lookup; ids < 0 (IMAGE_TOKEN_INDEX/pads) map to 0."""
     safe = jnp.where(input_ids < 0, 0, input_ids)

@@ -134,7 +134,7 @@ def mha_reference(
 # Pallas flash attention — forward
 # ---------------------------------------------------------------------------
 
-def _scores(q, k_blk, kbias_blk, i, jj, scale, diag, bq, bk):
+def _scores(q, k_blk, kbias_blk, i, jj, scale, diag, bq, bk, offset=0):
     """Scaled scores for one (q-block, kv-block) tile, f32.
 
     The key validity mask arrives as an ADDITIVE f32 bias (0 or -1e30) — one
@@ -142,6 +142,11 @@ def _scores(q, k_blk, kbias_blk, i, jj, scale, diag, bq, bk):
     only on DIAGONAL tiles (``diag=True``); interior tiles (col_max ≤
     row_min) skip all mask work, which roughly doubles kernel throughput
     (measured 10.3 → 18.9 TF/s at [3,1599,32,128] on v5e).
+
+    ``offset`` (static) generalizes causality to rectangular layouts:
+    query row r may attend key col c iff c <= r + offset.  offset=0 is
+    square self-attention; the shared-prefix scoring forward uses
+    offset = prefix length with KV = [prefix ++ response].
     """
     s = jax.lax.dot_general(
         q, k_blk, (((1,), (1,)), ((), ())),
@@ -151,23 +156,23 @@ def _scores(q, k_blk, kbias_blk, i, jj, scale, diag, bq, bk):
     if diag:
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * bq
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jj * bk
-        s = jnp.where(col <= row, s, _NEG_INF)
+        s = jnp.where(col <= row + offset, s, _NEG_INF)
     return s
 
 
-def _causal_kv_bound(i, bq, bk, nkv):
+def _causal_kv_bound(i, bq, bk, nkv, offset=0):
     """Number of kv blocks a causal q-block i needs (dynamic in i)."""
-    return jnp.minimum(nkv, (i * bq + bq + bk - 1) // bk)
+    return jnp.minimum(nkv, (i * bq + bq + offset + bk - 1) // bk)
 
 
-def _causal_inner_bound(i, bq, bk):
+def _causal_inner_bound(i, bq, bk, offset=0):
     """kv blocks fully inside the causal region for q-block i (no masking
-    needed): block jj is interior iff jj*bk + bk - 1 <= i*bq."""
-    return (i * bq) // bk
+    needed): block jj is interior iff jj*bk + bk - 1 <= i*bq + offset."""
+    return (i * bq + offset + 1) // bk
 
 
 def _fwd_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                *, causal, scale, bq, bk, nkv):
+                *, causal, scale, bq, bk, nkv, offset=0):
     i = pl.program_id(2)
     q = q_ref[0, 0]                            # [bq, d]
     d = q.shape[-1]
@@ -177,7 +182,7 @@ def _fwd_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         k_blk = k_ref[0, 0, pl.ds(jj * bk, bk), :]
         v_blk = v_ref[0, 0, pl.ds(jj * bk, bk), :]
         kbias_blk = kb_ref[0, 0, pl.ds(jj * bk, bk)]
-        s = _scores(q, k_blk, kbias_blk, i, jj, scale, diag, bq, bk)
+        s = _scores(q, k_blk, kbias_blk, i, jj, scale, diag, bq, bk, offset)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
@@ -194,8 +199,8 @@ def _fwd_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     acc0 = jnp.zeros((bq, d), jnp.float32)
     carry = (m0, l0, acc0)
     if causal:
-        inner = _causal_inner_bound(i, bq, bk)
-        bound = _causal_kv_bound(i, bq, bk, nkv)
+        bound = _causal_kv_bound(i, bq, bk, nkv, offset)
+        inner = jnp.minimum(_causal_inner_bound(i, bq, bk, offset), bound)
         carry = jax.lax.fori_loop(
             0, inner, lambda jj, c: step(jj, c, diag=False), carry)
         carry = jax.lax.fori_loop(
@@ -211,24 +216,29 @@ def _fwd_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     lse_ref[0, 0] = jnp.broadcast_to(lse, (bq, 8))
 
 
-def _flash_fwd(q, k, v, kbias, causal, scale, bq, bk):
-    """q,k,v: [B, H, S, D] padded; kbias: [B, 1, S] f32 additive → (o, lse)."""
-    b, h, s, d = q.shape
-    grid = (b, h, s // bq)
+def _flash_fwd(q, k, v, kbias, causal, scale, bq, bk, offset=0):
+    """q: [B, H, Sq, D]; k,v: [B, H, Skv, D] padded; kbias: [B, 1, Skv] f32
+    additive → (o, lse).  Sq == Skv with offset=0 is plain self-attention;
+    Sq < Skv with a static ``offset`` is the shared-prefix layout (query
+    row r sees key col c iff c <= r + offset)."""
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    grid = (b, h, sq // bq)
     kernel = functools.partial(
-        _fwd_kernel, causal=causal, scale=scale, bq=bq, bk=bk, nkv=s // bk
+        _fwd_kernel, causal=causal, scale=scale, bq=bq, bk=bk,
+        nkv=skv // bk, offset=offset,
     )
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, s), lambda b_, h_, i: (b_, 0, 0),
+            pl.BlockSpec((1, 1, skv), lambda b_, h_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, d), lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((1, 1, skv, d), lambda b_, h_, i: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, d), lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((1, 1, skv, d), lambda b_, h_, i: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -238,8 +248,8 @@ def _flash_fwd(q, k, v, kbias, causal, scale, bq, bk):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, s, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, 8), jnp.float32),
         ],
         interpret=_interpret_mode(),
     )(kbias, q, k, v)
@@ -251,7 +261,7 @@ def _flash_fwd(q, k, v, kbias, causal, scale, bq, bk):
 # ---------------------------------------------------------------------------
 
 def _dq_kernel(kb_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, *, causal, scale, bq, bk, nkv):
+               dq_ref, *, causal, scale, bq, bk, nkv, offset=0):
     i = pl.program_id(2)
     q = q_ref[0, 0]                            # [bq, d]
     do = do_ref[0, 0]
@@ -263,7 +273,7 @@ def _dq_kernel(kb_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         k_blk = k_ref[0, 0, pl.ds(jj * bk, bk), :]
         v_blk = v_ref[0, 0, pl.ds(jj * bk, bk), :]
         kbias_blk = kb_ref[0, 0, pl.ds(jj * bk, bk)]
-        s = _scores(q, k_blk, kbias_blk, i, jj, scale, diag, bq, bk)
+        s = _scores(q, k_blk, kbias_blk, i, jj, scale, diag, bq, bk, offset)
         p = jnp.exp(s - lse)                   # [bq, bk]
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())),
@@ -277,8 +287,8 @@ def _dq_kernel(kb_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     dq = jnp.zeros((bq, d), jnp.float32)
     if causal:
-        inner = _causal_inner_bound(i, bq, bk)
-        bound = _causal_kv_bound(i, bq, bk, nkv)
+        bound = _causal_kv_bound(i, bq, bk, nkv, offset)
+        inner = jnp.minimum(_causal_inner_bound(i, bq, bk, offset), bound)
         dq = jax.lax.fori_loop(
             0, inner, lambda jj, a: step(jj, a, diag=False), dq)
         dq = jax.lax.fori_loop(
@@ -290,7 +300,7 @@ def _dq_kernel(kb_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _dkv_kernel(kb_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, *, causal, scale, bq, bk, nq):
+                dk_ref, dv_ref, *, causal, scale, bq, bk, nq, offset=0):
     j = pl.program_id(2)                       # kv block index
     k_blk = k_ref[0, 0]                        # [bk, d]
     v_blk = v_ref[0, 0]
@@ -303,7 +313,7 @@ def _dkv_kernel(kb_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         do = do_ref[0, 0, pl.ds(ii * bq, bq), :]
         lse = lse_ref[0, 0, pl.ds(ii * bq, bq), 0:1]
         delta = delta_ref[0, 0, pl.ds(ii * bq, bq), 0:1]
-        s = _scores(q, k_blk, kbias_blk, ii, j, scale, diag, bq, bk)
+        s = _scores(q, k_blk, kbias_blk, ii, j, scale, diag, bq, bk, offset)
         p = jnp.exp(s - lse)                   # [bq, bk]
         dv_new = dv_acc + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -326,9 +336,11 @@ def _dkv_kernel(kb_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     if causal:
         # q blocks strictly before this kv block never attend to it; q
         # blocks whose rows all sit past the tile's last column need no
-        # causal mask.
-        start = (j * bk) // bq
-        inner_start = ((j + 1) * bk - 1 + bq - 1) // bq
+        # causal mask.  With a shared-prefix offset the visibility line is
+        # col <= row + offset, shifting both bounds left by offset rows.
+        start = jnp.maximum(0, j * bk - offset) // bq
+        inner_start = jnp.maximum(
+            start, ((j + 1) * bk - 1 - offset + bq - 1) // bq)
         carry = jax.lax.fori_loop(
             start, jnp.minimum(inner_start, nq),
             lambda ii, c: step(ii, c, diag=True), carry)
@@ -343,23 +355,24 @@ def _dkv_kernel(kb_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, kbias, o, lse, do, causal, scale, bq, bk):
-    b, h, s, d = q.shape
+def _flash_bwd(q, k, v, kbias, o, lse, do, causal, scale, bq, bk, offset=0):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 8))
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, causal=causal, scale=scale,
-                          bq=bq, bk=bk, nkv=s // bk),
-        grid=(b, h, s // bq),
+                          bq=bq, bk=bk, nkv=skv // bk, offset=offset),
+        grid=(b, h, sq // bq),
         in_specs=[
-            pl.BlockSpec((1, 1, s), lambda b_, h_, i: (b_, 0, 0),
+            pl.BlockSpec((1, 1, skv), lambda b_, h_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, d), lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((1, 1, skv, d), lambda b_, h_, i: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, d), lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((1, 1, skv, d), lambda b_, h_, i: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
@@ -370,28 +383,28 @@ def _flash_bwd(q, k, v, kbias, o, lse, do, causal, scale, bq, bk):
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
         interpret=_interpret_mode(),
     )(kbias, q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, causal=causal, scale=scale,
-                          bq=bq, bk=bk, nq=s // bq),
-        grid=(b, h, s // bk),
+                          bq=bq, bk=bk, nq=sq // bq, offset=offset),
+        grid=(b, h, skv // bk),
         in_specs=[
             pl.BlockSpec((1, 1, bk), lambda b_, h_, j: (b_, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, d), lambda b_, h_, j: (b_, h_, 0, 0),
+            pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bk, d), lambda b_, h_, j: (b_, h_, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bk, d), lambda b_, h_, j: (b_, h_, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, d), lambda b_, h_, j: (b_, h_, 0, 0),
+            pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, 8), lambda b_, h_, j: (b_, h_, 0, 0),
+            pl.BlockSpec((1, 1, sq, 8), lambda b_, h_, j: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, 8), lambda b_, h_, j: (b_, h_, 0, 0),
+            pl.BlockSpec((1, 1, sq, 8), lambda b_, h_, j: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -401,8 +414,8 @@ def _flash_bwd(q, k, v, kbias, o, lse, do, causal, scale, bq, bk):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, s, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, s, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, skv, d), v.dtype),
         ],
         interpret=_interpret_mode(),
     )(kbias, q, k, v, do, lse, delta)
@@ -413,20 +426,22 @@ def _flash_bwd(q, k, v, kbias, o, lse, do, causal, scale, bq, bk):
 # custom_vjp wrapper over padded [B, H, S, D] tensors
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention_padded(q, k, v, kbias, causal, scale, bq, bk):
-    o, _ = _flash_fwd(q, k, v, kbias, causal, scale, bq, bk)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attention_padded(q, k, v, kbias, causal, scale, bq, bk, offset=0):
+    o, _ = _flash_fwd(q, k, v, kbias, causal, scale, bq, bk, offset)
     return o
 
 
-def _flash_attention_padded_fwd(q, k, v, kbias, causal, scale, bq, bk):
-    o, lse = _flash_fwd(q, k, v, kbias, causal, scale, bq, bk)
+def _flash_attention_padded_fwd(q, k, v, kbias, causal, scale, bq, bk,
+                                offset=0):
+    o, lse = _flash_fwd(q, k, v, kbias, causal, scale, bq, bk, offset)
     return o, (q, k, v, kbias, o, lse)
 
 
-def _flash_attention_padded_bwd(causal, scale, bq, bk, res, do):
+def _flash_attention_padded_bwd(causal, scale, bq, bk, offset, res, do):
     q, k, v, kbias, o, lse = res
-    dq, dk, dv = _flash_bwd(q, k, v, kbias, o, lse, do, causal, scale, bq, bk)
+    dq, dk, dv = _flash_bwd(q, k, v, kbias, o, lse, do, causal, scale, bq, bk,
+                            offset)
     return dq, dk, dv, None
 
 
@@ -481,6 +496,58 @@ def flash_attention(
     o = _flash_attention_padded(qp, kp, vp, kbias, causal, scale, block_q,
                                 block_k)
     return o.transpose(0, 2, 1, 3)[:, :s, :, :d]
+
+
+def flash_attention_prefix(
+    q: jax.Array,            # [B, Sq, H, D]
+    k: jax.Array,            # [B, Skv, H, D], Skv >= Sq
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,   # [B, Skv]
+    offset: Optional[int] = None,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Rectangular causal flash attention: query row r attends key col c
+    iff ``c <= r + offset`` (default ``offset = Skv - Sq``, i.e. queries
+    aligned to the end of the keys — the shared-prefix scoring layout
+    where KV = [prefix ++ response] and the queries are the response).
+    Matches ``mha_reference(q, k, v, causal=True)`` at Sq < Skv.  Both
+    lengths pad independently at the end (pad keys are bias-masked, pad
+    query rows are sliced off), which keeps ``offset`` valid in padded
+    coordinates."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if offset is None:
+        offset = skv - sq
+    if scale is None:
+        scale = d ** -0.5
+    if key_mask is None:
+        key_mask = jnp.ones((b, skv), dtype=jnp.int32)
+
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(skv, 128))
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_k)
+    d_pad = _round_up(d, 128)
+
+    def pad_to(x, target_s):
+        return jnp.pad(
+            x, ((0, 0), (0, target_s - x.shape[1]), (0, 0),
+                (0, d_pad - x.shape[3]))
+        )
+
+    qp = pad_to(q, sq_pad).transpose(0, 2, 1, 3)
+    kp = pad_to(k, skv_pad).transpose(0, 2, 1, 3)
+    vp = pad_to(v, skv_pad).transpose(0, 2, 1, 3)
+    kbias = jnp.where(
+        jnp.pad(key_mask.astype(jnp.int32),
+                ((0, 0), (0, skv_pad - skv))) != 0, 0.0, _NEG_INF
+    ).astype(jnp.float32)[:, None, :]
+
+    o = _flash_attention_padded(qp, kp, vp, kbias, True, scale, block_q,
+                                block_k, offset)
+    return o.transpose(0, 2, 1, 3)[:, :sq, :, :d]
 
 
 # ---------------------------------------------------------------------------
@@ -773,6 +840,152 @@ def _flash_attention_fused_tp(q2, k2, v2, cos_table, sin_table, positions,
         check_vma=False,
     )
     return fn(q2, k2, v2, cos_table, sin_table, positions, key_mask)
+
+
+def flash_attention_fused_shared(
+    qp2: jax.Array,          # [B, Sp, H*hd] prefix projections
+    kp2: jax.Array,          # [B, Sp, Hkv*hd]
+    vp2: jax.Array,
+    qr2: jax.Array,          # [K*B, Sr, H*hd] response projections, B-MAJOR
+    kr2: jax.Array,          #   (row b*K + t is response type t of example b)
+    vr2: jax.Array,
+    cos_table: jax.Array,
+    sin_table: jax.Array,
+    pos_p: jax.Array,        # [B, Sp] int32
+    pos_r: jax.Array,        # [K*B, Sr] int32
+    num_heads: int,
+    mask_p: jax.Array,       # [B, Sp]
+    mask_r: jax.Array,       # [K*B, Sr]
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    num_kv_heads: Optional[int] = None,
+) -> tuple:
+    """Shared-prefix attention from projection outputs (see
+    ``flash_attention_fused`` for the fused prologue/epilogue design).
+
+    One prefix stream of B rows and one response stream of K·B rows that
+    all attend to their example's prefix KV: the prefix runs square causal
+    flash ONCE per example, the responses run the rectangular
+    offset-causal kernel over KV = [prefix ++ response].  Responses must
+    be stacked B-major (row = b·K + t) so the per-row ``jnp.repeat`` of
+    the prefix KV lines up — and so data-axis sharding under TP keeps each
+    shard's prefix and response rows on the same device.
+
+    Returns ``(op2 [B, Sp, H*hd], or2 [K*B, Sr, H*hd])``.
+    """
+    if num_kv_heads is None:
+        num_kv_heads = num_heads
+    if _TP_MESH is not None:
+        return _flash_attention_fused_shared_tp(
+            qp2, kp2, vp2, qr2, kr2, vr2, cos_table, sin_table, pos_p,
+            pos_r, num_heads, mask_p, mask_r, scale, block_q, block_k,
+            _TP_MESH, num_kv_heads)
+    return _flash_attention_fused_shared_local(
+        qp2, kp2, vp2, qr2, kr2, vr2, cos_table, sin_table, pos_p, pos_r,
+        num_heads, mask_p, mask_r, scale, block_q, block_k, num_kv_heads)
+
+
+def _flash_attention_fused_shared_local(qp2, kp2, vp2, qr2, kr2, vr2,
+                                        cos_table, sin_table, pos_p, pos_r,
+                                        num_heads, mask_p, mask_r, scale,
+                                        block_q, block_k, num_kv_heads):
+    b, sp, d = qp2.shape
+    kb, sr, _ = qr2.shape
+    kk = kb // b
+    hd = d // num_heads
+    rep = num_heads // num_kv_heads
+    if scale is None:
+        scale = hd ** -0.5
+    # one block size serves both calls (the square prefix call and the
+    # rectangular response call whose KV is sp_pad + sr_pad); clamp for
+    # short test shapes so padding never exceeds one block
+    blk = min(max(block_q, block_k), _round_up(min(sp, sr), 128))
+    block_q = block_k = blk
+    sp_pad = _round_up(sp, blk)
+    sr_pad = _round_up(sr, blk)
+    half = hd // 2
+
+    def tables(pos, s, s_pad):
+        cos_g = jnp.pad(cos_table[pos][..., :half],
+                        ((0, 0), (0, s_pad - s), (0, 0))).astype(jnp.float32)
+        sin_g = jnp.pad(sin_table[pos][..., :half],
+                        ((0, 0), (0, s_pad - s), (0, 0))).astype(jnp.float32)
+        return cos_g, sin_g
+
+    def kbias(mask, s, s_pad):
+        return jnp.where(
+            jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, s_pad - s))) != 0,
+            0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
+
+    cos_p, sin_p = tables(pos_p, sp, sp_pad)
+    cos_r, sin_r = tables(pos_r, sr, sr_pad)
+
+    qp_t = _to_heads(qp2, cos_p, sin_p, num_heads, sp_pad, True, sp,
+                     qp2.dtype)
+    kp_t = _to_heads(kp2, cos_p, sin_p, num_heads, sp_pad, True, sp,
+                     kp2.dtype, rep)
+    vp_t = _to_heads(vp2, cos_p, sin_p, num_heads, sp_pad, False, sp,
+                     vp2.dtype, rep)
+    qr_t = _to_heads(qr2, cos_r, sin_r, num_heads, sr_pad, True, sr,
+                     qr2.dtype)
+    kr_t = _to_heads(kr2, cos_r, sin_r, num_heads, sr_pad, True, sr,
+                     kr2.dtype, rep)
+    vr_t = _to_heads(vr2, cos_r, sin_r, num_heads, sr_pad, False, sr,
+                     vr2.dtype, rep)
+
+    kbias_p = kbias(mask_p, sp, sp_pad)
+    kbias_r = kbias(mask_r, sr, sr_pad)
+
+    op_t = _flash_attention_padded(qp_t, kp_t, vp_t, kbias_p, True, scale,
+                                   block_q, block_k)
+
+    # responses attend to [prefix ++ self]: per-row repeat keeps B-major
+    # alignment (and autodiff sums the K replicas' grads back into kp/vp)
+    kcat = jnp.concatenate([jnp.repeat(kp_t, kk, axis=0), kr_t], axis=2)
+    vcat = jnp.concatenate([jnp.repeat(vp_t, kk, axis=0), vr_t], axis=2)
+    bcat = jnp.concatenate([jnp.repeat(kbias_p, kk, axis=0), kbias_r],
+                           axis=2)
+    or_t = _flash_attention_padded(qr_t, kcat, vcat, bcat, True, scale,
+                                   block_q, block_k, sp_pad)
+
+    op2 = _from_heads(op_t, jnp.bfloat16, qp_t.dtype, num_heads)[:, :sp, :]
+    or2 = _from_heads(or_t, jnp.bfloat16, qr_t.dtype, num_heads)[:, :sr, :]
+    return op2, or2
+
+
+def _flash_attention_fused_shared_tp(qp2, kp2, vp2, qr2, kr2, vr2,
+                                     cos_table, sin_table, pos_p, pos_r,
+                                     num_heads, mask_p, mask_r, scale,
+                                     block_q, block_k, mesh, num_kv_heads):
+    """Shared-prefix fused pipeline under TP: same sharding story as
+    ``_flash_attention_fused_tp`` — feature axes head-sharded along
+    ``model``, batch axes along ``data`` (B-major response stacking keeps
+    each shard's prefix/response rows aligned), body communication-free."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from opadpo_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    local_heads = num_heads // n_model
+    local_kv = num_kv_heads // n_model
+    feat_spec = P(DATA_AXIS, None, MODEL_AXIS)
+    row_spec = P(DATA_AXIS, None)
+    fn = shard_map(
+        lambda qp_, kp_, vp_, qr_, kr_, vr_, cos_, sin_, pp_, pr_, mp_, mr_:
+        _flash_attention_fused_shared_local(
+            qp_, kp_, vp_, qr_, kr_, vr_, cos_, sin_, pp_, pr_,
+            local_heads, mp_, mr_, scale, block_q, block_k, local_kv),
+        mesh=mesh,
+        in_specs=(feat_spec, feat_spec, feat_spec, feat_spec, feat_spec,
+                  feat_spec, P(None, None), P(None, None), row_spec,
+                  row_spec, row_spec, row_spec),
+        out_specs=(feat_spec, feat_spec),
+        check_vma=False,
+    )
+    return fn(qp2, kp2, vp2, qr2, kr2, vr2, cos_table, sin_table, pos_p,
+              pos_r, mask_p, mask_r)
 
 
 def _flash_attention_tp(q, k, v, key_mask, causal, scale, mesh):

@@ -104,6 +104,7 @@ def train(cfg: Config) -> None:
         response_len=int(t.get("response_len", 896)),
         query_len=int(t.get("query_len", 128)),
         lora_scaling=lora_cfg.scaling,
+        shared_prefix=bool(t.get("shared_prefix", True)),
     )
 
     # --- adapters: policy (trainable) + frozen reference, shared base ---

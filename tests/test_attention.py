@@ -459,3 +459,184 @@ def test_decode_attention_hblk_mosaic_legal():
     assert _pick_hblk(32, 16) == 16
     assert _pick_hblk(4, 16) == 4           # tiny test config: whole dim
     assert _pick_hblk(20, 16) == 20         # no 8-aligned divisor ≤ 16
+
+
+# ---------------------------------------------------------------------------
+# Shared-prefix (rectangular offset-causal) attention
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sq,skv", [(200, 456), (128, 384), (192, 192)])
+def test_flash_prefix_matches_reference(sq, skv):
+    """flash_attention_prefix (query rows aligned to the end of a longer
+    KV, causal offset = Skv - Sq) == mha_reference at Sq <= Skv, fwd and
+    grads — the kernel layout DPO shared-prefix scoring uses."""
+    from opadpo_tpu.ops.attention import flash_attention_prefix
+
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv, km = jax.random.split(key, 4)
+    b, h, d = 2, 2, 64
+    q = _rand((b, sq, h, d), kq)
+    k = _rand((b, skv, h, d), kk)
+    v = _rand((b, skv, h, d), kv)
+    mask = jax.random.bernoulli(km, 0.85, (b, skv)).at[:, :4].set(True)
+
+    out = flash_attention_prefix(q, k, v, key_mask=mask)
+    ref = mha_reference(q, k, v, key_mask=mask, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    gf = jax.grad(lambda *a: jnp.sum(
+        flash_attention_prefix(*a, key_mask=mask) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.sum(
+        mha_reference(*a, key_mask=mask, causal=True) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(a, b_, atol=5e-4, rtol=5e-4)
+
+
+def _fused_shared_inputs(b, kk_, sp, sr, h, hd, nkv=None, seed=21):
+    from opadpo_tpu.ops.rope import rope_frequencies
+
+    nkv = nkv or h
+    d, dkv = h * hd, nkv * hd
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    qp2 = _rand((b, sp, d), ks[0]) * 0.3
+    kp2 = _rand((b, sp, dkv), ks[1]) * 0.3
+    vp2 = _rand((b, sp, dkv), ks[2]) * 0.3
+    qr2 = _rand((b * kk_, sr, d), ks[3]) * 0.3
+    kr2 = _rand((b * kk_, sr, dkv), ks[4]) * 0.3
+    vr2 = _rand((b * kk_, sr, dkv), ks[5]) * 0.3
+    mask_p = jax.random.bernoulli(
+        ks[6], 0.9, (b, sp)).at[:, :4].set(True).astype(jnp.int32)
+    mask_r = jax.random.bernoulli(
+        ks[7], 0.9, (b * kk_, sr)).astype(jnp.int32)
+    pos_p = jnp.maximum(jnp.cumsum(mask_p, axis=1) - 1, 0)
+    pos_r = (jnp.sum(mask_p, 1).repeat(kk_)[:, None]
+             + jnp.maximum(jnp.cumsum(mask_r, 1) - 1, 0))
+    cos, sin = rope_frequencies(hd, 2048)
+    return qp2, kp2, vp2, qr2, kr2, vr2, cos, sin, pos_p, pos_r, mask_p, mask_r
+
+
+def _stacked_rowwise_reference(args, b, kk_, sp, sr, h, hd, nkv):
+    """Per-(example, response) full-sequence attention via mha_reference —
+    the stacked layout the shared path must reproduce."""
+    from opadpo_tpu.ops.rope import apply_rope
+
+    (qp2, kp2, vp2, qr2, kr2, vr2, cos, sin,
+     pos_p, pos_r, mask_p, mask_r) = args
+    rep = h // nkv
+    outs_p, outs_r = [], []
+    for bb in range(b):
+        row_p = None
+        for t in range(kk_):
+            rr = bb * kk_ + t
+            q = jnp.concatenate([qp2[bb], qr2[rr]], 0).reshape(
+                1, sp + sr, h, hd)
+            k = jnp.concatenate([kp2[bb], kr2[rr]], 0).reshape(
+                1, sp + sr, nkv, hd)
+            v = jnp.concatenate([vp2[bb], vr2[rr]], 0).reshape(
+                1, sp + sr, nkv, hd)
+            pos = jnp.concatenate([pos_p[bb], pos_r[rr]])[None]
+            q, k = apply_rope(q, k, cos, sin, pos)
+            if rep > 1:
+                k = jnp.repeat(k, rep, axis=2)
+                v = jnp.repeat(v, rep, axis=2)
+            m = jnp.concatenate([mask_p[bb], mask_r[rr]])[None]
+            o = mha_reference(q, k, v, key_mask=m, causal=True)[0]
+            o = o.reshape(sp + sr, h * hd)
+            row_p = o[:sp] if row_p is None else row_p
+            outs_r.append(o[sp:])
+        outs_p.append(row_p)
+    return jnp.stack(outs_p), jnp.stack(outs_r)
+
+
+@pytest.mark.parametrize("nkv", [2, 1])
+def test_flash_attention_fused_shared_matches_stacked(nkv):
+    """flash_attention_fused_shared (prefix once + rectangular response
+    kernel, B-major rows) == per-row stacked full-sequence attention,
+    including GQA (nkv < h) and grads through all six projections."""
+    from opadpo_tpu.ops.attention import flash_attention_fused_shared
+
+    b, kk_, sp, sr, h, hd = 2, 3, 160, 192, 2, 128
+    args = _fused_shared_inputs(b, kk_, sp, sr, h, hd, nkv=nkv)
+    (qp2, kp2, vp2, qr2, kr2, vr2, cos, sin,
+     pos_p, pos_r, mask_p, mask_r) = args
+
+    def f(qp2, kp2, vp2, qr2, kr2, vr2):
+        op2, or2 = flash_attention_fused_shared(
+            qp2, kp2, vp2, qr2, kr2, vr2, cos, sin, pos_p, pos_r, h,
+            mask_p, mask_r, num_kv_heads=nkv)
+        return op2.astype(jnp.float32), or2.astype(jnp.float32)
+
+    op2, or2 = f(qp2, kp2, vp2, qr2, kr2, vr2)
+    ref_p, ref_r = _stacked_rowwise_reference(args, b, kk_, sp, sr, h, hd,
+                                              nkv)
+    np.testing.assert_allclose(np.asarray(op2), np.asarray(ref_p),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(or2), np.asarray(ref_r),
+                               atol=2e-2, rtol=2e-2)
+
+    # grads: shared vs stacked reference (prefix grads accumulate over
+    # the kk_ responses that attend to them)
+    def loss_shared(*a):
+        op, orr = f(*a)
+        return jnp.sum(op ** 2) + jnp.sum(orr ** 2)
+
+    def loss_ref(*a):
+        rp, rr_ = _stacked_rowwise_reference(
+            (*a, cos, sin, pos_p, pos_r, mask_p, mask_r),
+            b, kk_, sp, sr, h, hd, nkv)
+        return jnp.sum(rp ** 2) + jnp.sum(rr_ ** 2)
+
+    gs = jax.grad(loss_shared, argnums=tuple(range(6)))(
+        qp2, kp2, vp2, qr2, kr2, vr2)
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(
+        qp2, kp2, vp2, qr2, kr2, vr2)
+    for a, b_ in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-2, rtol=5e-2)
+
+
+def test_flash_attention_fused_shared_tp_matches_local():
+    """The shared-prefix fused pipeline under a registered TP mesh
+    (B-major response rows data-sharded alongside their prefix rows)
+    == the no-mesh path, fwd + grads."""
+    from opadpo_tpu.ops import attention as att
+    from opadpo_tpu.ops.attention import flash_attention_fused_shared
+    from opadpo_tpu.parallel import MeshConfig, make_mesh
+
+    b, kk_, sp, sr, h, hd = 4, 3, 96, 128, 4, 128
+    args = _fused_shared_inputs(b, kk_, sp, sr, h, hd, seed=31)
+    (qp2, kp2, vp2, qr2, kr2, vr2, cos, sin,
+     pos_p, pos_r, mask_p, mask_r) = args
+
+    def f(qp2, kp2, vp2, qr2, kr2, vr2):
+        op2, or2 = flash_attention_fused_shared(
+            qp2, kp2, vp2, qr2, kr2, vr2, cos, sin, pos_p, pos_r, h,
+            mask_p, mask_r)
+        return op2.astype(jnp.float32), or2.astype(jnp.float32)
+
+    def loss(*a):
+        op, orr = f(*a)
+        return jnp.sum(op ** 2) + jnp.sum(orr ** 2)
+
+    o_local = f(qp2, kp2, vp2, qr2, kr2, vr2)
+    g_local = jax.grad(loss, argnums=tuple(range(6)))(
+        qp2, kp2, vp2, qr2, kr2, vr2)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    att.set_tp_mesh(mesh)
+    try:
+        o_tp = jax.jit(f)(qp2, kp2, vp2, qr2, kr2, vr2)
+        g_tp = jax.jit(jax.grad(loss, argnums=tuple(range(6))))(
+            qp2, kp2, vp2, qr2, kr2, vr2)
+    finally:
+        att.set_tp_mesh(None)
+
+    for a, b_ in zip(o_tp, o_local):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-2, rtol=2e-2)
+    for a, b_ in zip(g_tp, g_local):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-2, rtol=5e-2)

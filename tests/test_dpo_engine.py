@@ -155,3 +155,47 @@ def test_copo_attention_method():
     state = TrainState.create(lora0, tx)
     _, stats = dpo_train_step(state, PARAMS, full_batch, tx, CFG, d)
     assert np.isfinite(float(stats["loss/total"]))
+
+
+def test_score_responses_shared_prefix_matches_stacked():
+    """The shared-prefix scoring forward (prefix once + rectangular
+    response attention, B-major stacking) must reproduce the stacked
+    layout bit-for-bit up to f32 reassociation: rollout logprobs /
+    entropies / CoPO outputs, the DPO loss, and the LoRA grads."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG,
+        llama=dataclasses.replace(CFG.llama, dtype=jnp.float32),
+        vision=dataclasses.replace(CFG.vision, dtype=jnp.float32),
+        projector=dataclasses.replace(CFG.projector, dtype=jnp.float32))
+    params = llava_model.init_params(jax.random.PRNGKey(0), cfg)
+    lora = llava_model.init_lora(jax.random.PRNGKey(1), cfg, LORA_CFG)
+    # nonzero B factors so outputs actually depend on the adapter
+    lora = jax.tree_util.tree_map(lambda x: x + 0.01, lora)
+
+    batch = _make_batch()
+    d_shared = dataclasses.replace(DPO, shared_prefix=True)
+    d_stacked = dataclasses.replace(DPO, shared_prefix=False)
+
+    rng = jax.random.PRNGKey(9)
+    out_s = rollout_score(params, cfg, d_shared, lora, batch, rng)
+    out_t = rollout_score(params, cfg, d_stacked, lora, batch, rng)
+    assert set(out_s) == set(out_t)
+    for k in out_s:
+        np.testing.assert_allclose(np.asarray(out_s[k]),
+                                   np.asarray(out_t[k]),
+                                   atol=3e-4, rtol=1e-4, err_msg=k)
+
+    full = {**batch, **out_t}
+    (l_s, _), g_s = jax.value_and_grad(
+        dpo_engine.dpo_loss_and_stats, has_aux=True)(
+            lora, params, cfg, d_shared, full)
+    (l_t, _), g_t = jax.value_and_grad(
+        dpo_engine.dpo_loss_and_stats, has_aux=True)(
+            lora, params, cfg, d_stacked, full)
+    np.testing.assert_allclose(float(l_s), float(l_t), atol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_s),
+                     jax.tree_util.tree_leaves(g_t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-3)
