@@ -134,7 +134,9 @@ def bench_dpo_scoring(on_update=None) -> dict:
     dpo = DpoConfig(response_len=896, query_len=128, lora_scaling=2.0)
 
     results = {}
-    for mode, b in (("w8a8", 4), ("w8a8", 1), ("bf16", 1)):
+    # best-first; B=8 probes at 9.37 GB peak under the shared-prefix
+    # forward (bf16 B>=2 stays out: 14.5+ GB est < 1.5 GB headroom rule)
+    for mode, b in (("w8a8", 8), ("w8a8", 1), ("bf16", 1)):
         try:
             results[f"{mode}_b{b}"] = round(
                 _score_throughput(cfg, dpo, b, quant_mode=mode), 1)

@@ -562,6 +562,13 @@ def quant_matmul4(
     mp = _round_up(m, 8)
     np_ = _round_up(n, block_n)
     bm = min(block_m, mp)
+    # The divisor + 8-aligned-group rule above can force block_k to the
+    # WHOLE K (13B down-proj: K=13824 has no aligned proper divisor), so
+    # the [bm, block_k] bf16 x-block must shrink instead: bm=256 at
+    # K=13824 hit a 21 MB scoped-vmem OOM on hardware (16 MB limit) when
+    # the shared-prefix stream's M=704 first took this kernel at 13B.
+    bm_cap = max(8, (2_500_000 // (2 * block_k)) // 8 * 8)
+    bm = min(bm, bm_cap)
 
     xp = jnp.pad(x, ((0, mp - m), (0, 0)))[None]
     qp = jnp.pad(q, ((0, 0), (0, np_ - n)))[None]
