@@ -637,8 +637,22 @@ def _annotate(result: dict) -> dict:
     # (scripts/bench_quality.py artifact) so the w8a8 number is never read
     # without its divergence-vs-bf16 context.
     import glob as _glob
+    import re as _re
+
+    def _round_key(p):
+        # numeric round sort — lexicographic misorders double-digit rounds
+        # (QUALITY_r9 would sort after QUALITY_r10); fall back to mtime
+        m = _re.search(r"QUALITY_r(\d+)", os.path.basename(p))
+        rnd = int(m.group(1)) if m else -1
+        try:
+            mt = os.path.getmtime(p)
+        except OSError:
+            mt = 0.0
+        return (rnd, mt)
+
     qcands = sorted(_glob.glob(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "QUALITY_r*.json")))
+        os.path.dirname(os.path.abspath(__file__)), "QUALITY_r*.json")),
+        key=_round_key)
     if "config" in result:
         mode = result.get("config", "").split("_b")[0]
         # newest artifact that actually carries a scoring entry for this

@@ -44,13 +44,36 @@ def make_schedule(cfg: OptimizerConfig) -> optax.Schedule:
     return optax.join_schedules([warmup, decay], [cfg.warmup_steps])
 
 
+_NO_DECAY_MARKERS = ("norm", "bias", "ln1", "ln2", "ln_")
+
+
+def decay_mask(params: Any) -> Any:
+    """True where weight decay applies.  Mirrors the reference's
+    AdamW param grouping (``utils/trainer_utils.py:9-49``): LayerNorm
+    scales/biases and all bias vectors are excluded from decay.  Here
+    that is any leaf whose path mentions a norm/bias marker, or any
+    rank<2 leaf (1-D params are biases / norm scales in every model
+    tree in this repo)."""
+    def _mask_leaf(path, leaf):
+        names = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        ).lower()
+        if any(m in names for m in _NO_DECAY_MARKERS):
+            return False
+        return getattr(leaf, "ndim", 0) >= 2
+    return jax.tree_util.tree_map_with_path(_mask_leaf, params)
+
+
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     chain = []
     if cfg.max_grad_norm is not None:
         chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
+    # adamw's mask routes decay away from norm/bias leaves; at the shipped
+    # weight_decay=0.0 this is a no-op but keeps nonzero decay correct
     chain.append(optax.adamw(
         make_schedule(cfg), b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
-        weight_decay=cfg.weight_decay))
+        weight_decay=cfg.weight_decay,
+        mask=decay_mask if cfg.weight_decay else None))
     tx = optax.chain(*chain)
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)

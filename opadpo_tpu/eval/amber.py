@@ -72,10 +72,15 @@ def extract_nouns(text: str, vocabulary: Optional[set] = None) -> List[str]:
 _SPACY_NLP = None
 
 
-def check_synonyms_word(word1: str, word2: str,
-                        similarity_score: float = 0.8) -> bool:
-    """Reference ``AMBER_eval.py:28-32`` — spaCy vector similarity with
-    a strict > threshold; the bundled table is the offline stand-in."""
+def similarity_backend() -> str:
+    """Which synonym backend this environment resolves to — recorded in
+    the metrics dict so AMBER artifacts are self-describing (scores from
+    the bundled table are not comparable to real spaCy vectors)."""
+    _load_spacy()
+    return "spacy:en_core_web_lg" if _SPACY_NLP else "bundled-table"
+
+
+def _load_spacy():
     global _SPACY_NLP
     if _SPACY_NLP is None:
         try:
@@ -83,6 +88,13 @@ def check_synonyms_word(word1: str, word2: str,
             _SPACY_NLP = spacy.load("en_core_web_lg")
         except Exception:
             _SPACY_NLP = False
+
+
+def check_synonyms_word(word1: str, word2: str,
+                        similarity_score: float = 0.8) -> bool:
+    """Reference ``AMBER_eval.py:28-32`` — spaCy vector similarity with
+    a strict > threshold; the bundled table is the offline stand-in."""
+    _load_spacy()
     if not _SPACY_NLP:
         from opadpo_tpu.eval.amber_similarity import bundled_similarity
         return bundled_similarity(word1, word2) > similarity_score
@@ -241,6 +253,7 @@ def evaluate_amber(
 
     repeats = sum(1 for r in inference_data if len(r["response"]) >= 800)
     out["repeat_ratio"] = round(repeats / max(len(inference_data), 1) * 100, 2)
+    out["similarity_backend"] = similarity_backend()
     return out
 
 

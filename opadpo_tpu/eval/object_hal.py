@@ -283,7 +283,7 @@ def parse_object_list(content: str) -> List[str]:
     return [str(x) for x in out]
 
 
-def make_gpt_extractor(service, fail_limit: int = 5,
+def make_gpt_extractor(service, fail_limit: int = 100,
                        short_answer_words: int = 3,
                        tables: Optional["SynonymTables"] = None) -> Callable:
     """GPT-4 object extraction (reference ``get_gpt_resp``, ``:322-380``):
@@ -306,17 +306,24 @@ def make_gpt_extractor(service, fail_limit: int = 5,
         prompt = prompt.replace("{answer}", text)
         messages = [{"role": "system", "content": prompt}]
         last_err = None
+        use_cache = True
         for attempt in range(fail_limit):
             try:
                 # the sqlite cache stores ANY 200 reply before it is
                 # parsed — a cached malformed reply would replay
-                # identically forever, so retries after a parse failure
-                # must bypass the cache (a fresh success re-caches)
+                # identically forever, so retries after a PARSE failure
+                # must bypass the cache (a fresh success re-caches).
+                # Transient API errors (RuntimeError) keep the cache on:
+                # the cache was never the problem there, and bypassing it
+                # re-spends API calls on every network blip.
                 content = service.call_llm_with_messages(
-                    messages, temperature=0.0, use_cache=(attempt == 0))
+                    messages, temperature=0.0, use_cache=use_cache)
                 phrases = parse_object_list(content)
                 break
-            except (RuntimeError, ValueError) as e:
+            except ValueError as e:      # malformed reply — don't replay it
+                last_err = e
+                use_cache = False
+            except RuntimeError as e:    # transient API failure
                 last_err = e
         else:
             raise RuntimeError(

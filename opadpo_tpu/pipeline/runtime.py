@@ -145,9 +145,13 @@ def setup_model(
         # skip_loading_weights full-scale branch above already built the
         # quantized tree piecewise — detect and don't re-quantize.
         def _has_quant_leaf(node):
+            # require an actual quantized payload (q/q4 + scale), not just a
+            # key-subset match: an empty dict or a scale-only subtree must NOT
+            # suppress quantization (a bf16 7B base runtime-OOMs the chip)
             if isinstance(node, dict):
-                return (set(node) <= {"q", "q4", "scale"}
-                        or any(_has_quant_leaf(v) for v in node.values()))
+                if ("q" in node or "q4" in node) and "scale" in node:
+                    return True
+                return any(_has_quant_leaf(v) for v in node.values())
             return False
         if not _has_quant_leaf(params):
             from opadpo_tpu.ops.quant import quantize_params

@@ -76,6 +76,40 @@ def test_train_state_roundtrip_with_vision_adapter(tmp_path):
         restored.params, state.params)
 
 
+def test_weight_decay_excludes_norm_and_bias():
+    """Reference AdamW grouping (trainer_utils.py:9-49): LayerNorm and
+    bias leaves take no weight decay.  With a pure-decay step (lr>0,
+    wd>0, b1=b2=0 unused — check param deltas), masked leaves must be
+    untouched by the decay term."""
+    from opadpo_tpu.engine.train_state import decay_mask
+
+    params = {
+        "layers": {"wq": jnp.ones((4, 4)), "attn_norm": jnp.ones((4,)),
+                   "ln1_bias": jnp.zeros((4,))},
+        "proj": {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))},
+    }
+    mask = decay_mask(params)
+    assert mask["layers"]["wq"] is True
+    assert mask["layers"]["attn_norm"] is False   # name marker
+    assert mask["layers"]["ln1_bias"] is False    # name marker
+    assert mask["proj"]["w"] is True
+    assert mask["proj"]["b"] is False             # rank-1 leaf
+
+    # end-to-end: adamw with nonzero decay must shrink only masked-True
+    # leaves when gradients are zero
+    cfg = OptimizerConfig(learning_rate=1e-2, lr_scheduler_type="constant",
+                          warmup_steps=0, total_steps=10, weight_decay=0.1,
+                          max_grad_norm=None)
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    new = state.apply_gradients(tx, zeros)
+    assert float(jnp.max(jnp.abs(new.params["layers"]["attn_norm"]
+                                 - params["layers"]["attn_norm"]))) == 0.0
+    assert float(jnp.max(jnp.abs(new.params["layers"]["wq"]
+                                 - params["layers"]["wq"]))) > 0.0
+
+
 def test_config_compose_and_overrides():
     cfg = load_config("configs/llava_dpo.yaml")
     # inherited from base + checkpoints group

@@ -527,6 +527,36 @@ def test_gpt_extraction_retries_bypass_poisoned_cache():
     assert svc.cache_hits == 1 and svc.fresh == 1
 
 
+def test_gpt_extraction_api_errors_keep_cache_on():
+    """Transient API failures (RuntimeError) must NOT flip use_cache off:
+    the cache was never the problem, and bypassing it re-spends API
+    calls on every network blip."""
+    from opadpo_tpu.eval.object_hal import make_gpt_extractor
+
+    class _Flaky:
+        def __init__(self):
+            self.cached_calls = 0
+            self.uncached_calls = 0
+            self.n = 0
+
+        def call_llm_with_messages(self, messages, temperature=0.0,
+                                   max_tokens=2048, use_cache=True):
+            if use_cache:
+                self.cached_calls += 1
+            else:
+                self.uncached_calls += 1
+            self.n += 1
+            if self.n < 3:
+                raise RuntimeError("api down")
+            return '["dog"]'
+
+    svc = _Flaky()
+    extract = make_gpt_extractor(svc, fail_limit=5)
+    objs = extract("A dog catches a frisbee in the park today.")
+    assert objs == ["dog"]
+    assert svc.cached_calls == 3 and svc.uncached_calls == 0
+
+
 def test_two_arg_text_extractor_not_misrouted():
     """An extractor whose second parameter is NOT named 'record' (e.g.
     the (text, tables) shape of extract_coco_objects) must be called
