@@ -46,6 +46,57 @@ def test_annotate_projects_both_numerics_variants():
     assert out["projected_v5e8_dpo_stage_minutes"] == round(sec / 60.0, 1)
 
 
+def test_annotate_rollout_and_13b_projections():
+    bench = _load_bench()
+    rec = {
+        "config": "w8a8_b8",
+        "hot_loops": {
+            "rollout_decode": {"tokens_per_sec": 778.0},
+            "rollout_decode_13b": {"tokens_per_sec": 334.0},
+            "dpo_step_13b": {"seconds_per_step": 3.97,
+                             "rollout_score_seconds": 1.2},
+        },
+    }
+    out = bench._annotate(dict(rec))
+    tokens = 2 * 2500 * 896
+    assert out["projected_v5e8_rollout_stage_minutes"] == round(
+        tokens / (8 * 778.0) / 60.0, 1)
+    assert out["projected_v5e8_rollout_stage_minutes_13b"] == round(
+        tokens / (8 * 334.0) / 60.0, 1)
+    sec = (9600 / 1 / 8) * (1.2 + 2 * 3.97)
+    assert out["projected_v5e8_dpo_stage_minutes_13b"] == round(
+        sec / 60.0, 1)
+    assert "rollout_projection_note" in out
+
+
+def test_scoring_record_is_self_interpreting():
+    """VERDICT r4 weak #1: the stacked-equivalent accounting and the
+    achieved-FLOPs/MFU anchor must ride every scoring record."""
+    bench = _load_bench()
+    results = {"w8a8_b8": {"tokens_per_sec": 23354.0,
+                           "seconds_per_forward": 1.643,
+                           "positions_stacked": 38376,
+                           "positions_computed": 27128},
+               "bf16_b1": {"tokens_per_sec": 15940.0,
+                           "seconds_per_forward": 0.301,
+                           "positions_stacked": 4797,
+                           "positions_computed": 3391}}
+    rec = bench._scoring_record(results)
+    assert rec["config"] == "w8a8_b8"
+    assert "stacked-equivalent" in rec["accounting"]
+    pps = 27128 / 1.643
+    assert rec["achieved_tflops"] == round(2 * 6.74e9 * pps / 1e12, 1)
+    assert abs(rec["mfu"] - rec["achieved_tflops"] / 227.0) < 2e-3
+    assert rec["mfu_ceiling_tflops"] == 227.0
+    # 13B records use the bf16 ceiling (int4 dequant matmuls are bf16)
+    rec13 = bench._scoring_record(
+        {"int4_b4": {"tokens_per_sec": 5158.0, "seconds_per_forward": 3.7,
+                     "positions_stacked": 19188,
+                     "positions_computed": 13564}}, model="13b")
+    assert rec13["metric"] == "llava13b_dpo_score_tokens_per_sec"
+    assert rec13["mfu_ceiling_tflops"] == 167.0
+
+
 def test_annotate_is_per_emission_idempotent():
     """Each emitted line must be complete on its own — annotating a
     record twice (as successive cumulative emissions do) cannot differ
