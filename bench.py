@@ -364,8 +364,9 @@ def bench_serving(slots: int = 16, requests: int = 32,
     geometry matches scripts/bench_serve.py so compiled programs are
     shared with the standalone comparison benchmark."""
     from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
-    from opadpo_tpu.engine.continuous import ContinuousEngine
-    from opadpo_tpu.engine.sampling import SamplingConfig
+    from opadpo_tpu.engine.serving_config import (
+        make_continuous_engine, make_serving_sampling,
+    )
     from opadpo_tpu.models import llama as llama_model
     from opadpo_tpu.models import llava as llava_model
     from opadpo_tpu.models.llava import LlavaConfig
@@ -396,11 +397,11 @@ def bench_serving(slots: int = 16, requests: int = 32,
         reqs.append((q, np.ones_like(q),
                      np.zeros((336, 336, 3), np.float32), int(budgets[i])))
     total_tokens = int(budgets.sum())
-    sampling = SamplingConfig(max_new_tokens=max_new, temperature=1.0,
-                              top_k=30, top_p=0.95, eos_token_id=-1,
-                              pad_token_id=0)
-    eng = ContinuousEngine(cfg, sampling, params, max_batch=slots,
-                           qlen=128, seg_len=64)
+    # eos=-1 (never terminate — rows run to their budgets) is SAFE for
+    # program sharing with serve.py: eos/pad are traced decode args now
+    sampling = make_serving_sampling(max_new_tokens=max_new,
+                                     eos_token_id=-1)
+    eng = make_continuous_engine(cfg, sampling, params, slots=slots)
 
     def run():
         for q, m, im, budget in reqs:

@@ -260,12 +260,17 @@ class ContinuousEngine:
             lambda p, lo, q, m, im: llava_model.prefill_unrolled(
                 p, cfg, q, m, im, lora=lo, lora_scaling=lora_scaling,
                 quantize_kv=True, kv_bits=kv_bits))
+        # eos/pad are TRACED args: engines differing only in eos/pad ids
+        # compile byte-identical HLO (persistent-cache hash parity — the
+        # r4 bench/serve divergence silently recompiled for 18 min)
+        self._eos_pad = (jnp.int32(sampling.eos_token_id),
+                         jnp.int32(sampling.pad_token_id))
         self._seg_fn = jax.jit(
-            lambda p, lo, kv, pm, pos, ll, r, d0, n, su:
+            lambda p, lo, kv, pm, pos, ll, r, d0, n, su, e, pd:
             decode_loop_unrolled(
                 p, cfg, list(kv), pm, pos, ll, r, sampling, lora=lo,
                 lora_scaling=lora_scaling, done_init=d0, max_new=n,
-                return_state=True, sp_used=su),
+                return_state=True, sp_used=su, eos_id=e, pad_id=pd),
             static_argnums=(8, 9))
         fold = (fold_suffix_per_row if kv_bits == 8
                 else fold_suffix_per_row_int4)
@@ -426,7 +431,8 @@ class ContinuousEngine:
         done0 = jnp.asarray(np.logical_not(active))
         self.rng, sub = jax.random.split(self.rng)
         out_c, st = self._seg_fn(self.params, self.lora, kv, pm, pos, ll,
-                                 sub, done0, self.seg_len, su)
+                                 sub, done0, self.seg_len, su,
+                                 *self._eos_pad)
         out = np.asarray(out_c)
         eos = self.sampling.eos_token_id
 

@@ -138,15 +138,18 @@ def decode_loop_split(
     sampling: SamplingConfig,
     lora: Optional[dict] = None,
     lora_scaling: float = 1.0,
+    eos_id: Optional[jax.Array] = None,
+    pad_id: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Decode over the split cache: the prompt KV is a loop CONSTANT and
     only the [max_new_tokens] suffix buffer is carried — the program the
-    compile service actually handles (see llama.decode_forward_split)."""
+    compile service actually handles (see llama.decode_forward_split).
+    ``eos_id``/``pad_id``: traced overrides, see decode_loop_unrolled."""
     from opadpo_tpu.models import llama as llama_model
 
     b = prompt_mask.shape[0]
-    eos = sampling.eos_token_id
-    pad = sampling.pad_token_id
+    eos = sampling.eos_token_id if eos_id is None else eos_id
+    pad = sampling.pad_token_id if pad_id is None else pad_id
     suffix0 = llama_model.init_suffix_cache(cfg.llama, b,
                                             sampling.max_new_tokens)
 
@@ -189,6 +192,8 @@ def decode_loop_unrolled(
     max_new: Optional[int] = None,
     return_state: bool = False,
     sp_used: Optional[int] = None,
+    eos_id: Optional[jax.Array] = None,
+    pad_id: Optional[jax.Array] = None,
 ):
     """Decode over per-layer weights/KV: the while body inlines all layers
     so every weight is a loop constant — the scanned variant re-copied the
@@ -198,12 +203,19 @@ def decode_loop_unrolled(
     ``max_new``/``done_init``/``return_state`` support CHUNKED decode
     (``Sampler(chunk=...)``): run ``max_new`` steps, then hand
     ``(out, state)`` back so the caller can fold the suffix into the
-    quantized prompt cache and continue."""
+    quantized prompt cache and continue.
+
+    ``eos_id``/``pad_id``: optional TRACED scalar overrides of the
+    sampling config's values.  Passing them as program arguments (the
+    Sampler/ContinuousEngine do) keeps the compiled HLO byte-identical
+    across entry points that differ only in eos/pad — the r4 silent
+    18-minute recompile was bench_serve's ``eos_token_id=-1`` hashing a
+    different decode program than serve.py's tokenizer eos."""
     from opadpo_tpu.models import llama as llama_model
 
     b = prompt_mask.shape[0]
-    eos = sampling.eos_token_id
-    pad = sampling.pad_token_id
+    eos = sampling.eos_token_id if eos_id is None else eos_id
+    pad = sampling.pad_token_id if pad_id is None else pad_id
     n_new = max_new or sampling.max_new_tokens
     n_layers = len(prompt_kv_list)
     nkv, hd = cfg.llama.num_kv_heads, cfg.llama.head_dim
@@ -341,18 +353,30 @@ class Sampler:
         return sp_pad0 + (n_chunks - 1) * self.chunk
 
     def _get_decode(self, s_prompt: int):
+        # eos/pad ride as TRACED arguments so the compiled decode program
+        # is shared across entry points whose sampling differs only in
+        # eos/pad ids (persistent-cache hash parity; see
+        # decode_loop_unrolled docstring)
         if s_prompt not in self._decode_fn:
             if self.unroll:
                 self._decode_fn[s_prompt] = jax.jit(
-                    lambda p, lo, pk, pm, pos, ll, r: decode_loop_unrolled(
+                    lambda p, lo, pk, pm, pos, ll, r, e, pd:
+                    decode_loop_unrolled(
                         p, self.cfg, pk, pm, pos, ll, r, self.sampling,
-                        lora=lo, lora_scaling=self.lora_scaling))
+                        lora=lo, lora_scaling=self.lora_scaling,
+                        eos_id=e, pad_id=pd))
             else:
                 self._decode_fn[s_prompt] = jax.jit(
-                    lambda p, lo, pk, pm, pos, ll, r: decode_loop_split(
+                    lambda p, lo, pk, pm, pos, ll, r, e, pd:
+                    decode_loop_split(
                         p, self.cfg, pk, pm, pos, ll, r, self.sampling,
-                        lora=lo, lora_scaling=self.lora_scaling))
+                        lora=lo, lora_scaling=self.lora_scaling,
+                        eos_id=e, pad_id=pd))
         return self._decode_fn[s_prompt]
+
+    def _eos_pad_args(self):
+        return (jnp.int32(self.sampling.eos_token_id),
+                jnp.int32(self.sampling.pad_token_id))
 
     def prepare_params(self, params, lora=None):
         """Convert (once) to the per-layer decode layout.  Callers should
@@ -399,12 +423,12 @@ class Sampler:
             # remaining budget, and sp_used keeps the decode-attention
             # kernel's reads proportional to the FILLED cache prefix
             self._chunk_fn = jax.jit(
-                lambda p, lo, kv, pm, pos, ll, r, d0, n, su:
+                lambda p, lo, kv, pm, pos, ll, r, d0, n, su, e, pd:
                 decode_loop_unrolled(
                     p, self.cfg, list(kv), pm, pos, ll, r, self.sampling,
                     lora=lo, lora_scaling=self.lora_scaling,
                     done_init=d0, max_new=n, return_state=True,
-                    sp_used=su),
+                    sp_used=su, eos_id=e, pad_id=pd),
                 static_argnums=(8, 9))
             self._append_fn = jax.jit(
                 lambda kv, sfx, pm, filled, off:
@@ -420,11 +444,13 @@ class Sampler:
         done = jnp.zeros((b,), bool)
         outs = []
         kv = tuple(kv_list)
+        eos_a, pad_a = self._eos_pad_args()
         for ci in range(-(-total // c)):
             n = min(c, total - ci * c)
             sp_used = sp_pad0 + ci * c
             out_c, st = self._chunk_fn(params, lora, kv, pm, positions,
-                                       last_logits, rng, done, n, sp_used)
+                                       last_logits, rng, done, n, sp_used,
+                                       eos_a, pad_a)
             outs.append(np.asarray(out_c))
             done = st["done"]
             rng, positions, last_logits = (st["rng"], st["positions"],
@@ -458,11 +484,12 @@ class Sampler:
                         pf["next_position"], pf["last_logits"], rng)
             return self._get_decode(s_prompt)(
                 params, lora, tuple(kv_list), pf["key_mask"],
-                pf["next_position"], pf["last_logits"], rng)
+                pf["next_position"], pf["last_logits"], rng,
+                *self._eos_pad_args())
         prompt_kv = {"k": pf["cache"]["k"], "v": pf["cache"]["v"]}
         return self._get_decode(s_prompt)(
             params, lora, prompt_kv, pf["key_mask"], pf["next_position"],
-            pf["last_logits"], rng)
+            pf["last_logits"], rng, *self._eos_pad_args())
 
 
 def truncate_after_tokens(

@@ -38,7 +38,6 @@ from opadpo_tpu.constants import (
 from opadpo_tpu.data.datasets import make_rollout_data_module
 from opadpo_tpu.data.loading import DataLoader, InfiniteLoader, ShardedDataset
 from opadpo_tpu.engine.sampler import Sampler, truncate_after_tokens
-from opadpo_tpu.engine.sampling import SamplingConfig
 from opadpo_tpu.models.loader import load_peft_adapter
 from opadpo_tpu.parallel import MeshConfig
 from opadpo_tpu.pipeline import checkpoints as ckpt_lib
@@ -157,7 +156,11 @@ def run(cfg: Config) -> None:
 
     query_len = int(t.get("query_len", 128))
     response_len = int(t.get("response_len", 896))
-    sampling = SamplingConfig(
+    # shared constructor (engine/serving_config): pins the
+    # program-affecting defaults so rollout programs coincide with
+    # serve.py / bench_serve compiled programs where shapes match
+    from opadpo_tpu.engine.serving_config import make_serving_sampling
+    sampling = make_serving_sampling(
         temperature=float(t.get("temperature", 1.0)),
         top_k=int(t.get("top_k", 30)),
         top_p=float(t.get("top_p", 0.95)),
@@ -214,11 +217,11 @@ def run(cfg: Config) -> None:
     engine = None
     slots = int(t.get("continuous_slots", 0))
     if slots:
-        from opadpo_tpu.engine.continuous import ContinuousEngine
+        from opadpo_tpu.engine.serving_config import make_continuous_engine
         kvb = int(t.get("kv_bits", 16))
-        engine = ContinuousEngine(
+        engine = make_continuous_engine(
             llava_cfg, sampling, params, lora=lora,
-            lora_scaling=lora_scaling, max_batch=slots, qlen=query_len,
+            lora_scaling=lora_scaling, slots=slots, qlen=query_len,
             seg_len=int(t.get("continuous_seg_len", 64)),
             kv_bits=4 if kvb == 4 else 8,
             rng=jax.random.PRNGKey(int(t.get("seed", 42)) + 1000 + rank))

@@ -45,7 +45,7 @@ class InferenceWorker:
                  decode_chunk: int = 0, temperature: float = 0.0,
                  top_k: int = 0, top_p: float = 1.0):
         from opadpo_tpu.engine.sampler import Sampler
-        from opadpo_tpu.engine.sampling import SamplingConfig
+        from opadpo_tpu.engine.serving_config import make_serving_sampling
 
         self.params = params
         self.cfg = cfg
@@ -54,7 +54,7 @@ class InferenceWorker:
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
         self.queue: "queue.Queue" = queue.Queue()
-        self.sampling = SamplingConfig(
+        self.sampling = make_serving_sampling(
             greedy=(temperature == 0.0),
             temperature=max(temperature, 1e-4), top_k=top_k, top_p=top_p,
             max_new_tokens=max_new_tokens,
@@ -162,13 +162,14 @@ class ContinuousWorker:
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 1.0, kv_bits: int = 8,
                  query_len: int = 128):
-        from opadpo_tpu.engine.continuous import ContinuousEngine
         from opadpo_tpu.engine.sampler import Sampler
-        from opadpo_tpu.engine.sampling import SamplingConfig
+        from opadpo_tpu.engine.serving_config import (
+            make_continuous_engine, make_serving_sampling,
+        )
 
         self.tokenizer = tokenizer
         self.cfg = cfg
-        self.sampling = SamplingConfig(
+        self.sampling = make_serving_sampling(
             greedy=(temperature == 0.0),
             temperature=max(temperature, 1e-4), top_k=top_k, top_p=top_p,
             max_new_tokens=max_new_tokens,
@@ -183,9 +184,9 @@ class ContinuousWorker:
             # the slot pool's prompt bucket is FIXED (one prefill shape);
             # prompts longer than query_len are left-truncated by
             # add_request — size it for the deployment's longest prompt
-            return ContinuousEngine(
+            return make_continuous_engine(
                 cfg, self.sampling, params, lora=lora,
-                lora_scaling=lora_scaling, max_batch=max_batch,
+                lora_scaling=lora_scaling, slots=max_batch,
                 seg_len=seg_len, max_admit_group=max_admit_group,
                 kv_bits=kv_bits, qlen=query_len)
 

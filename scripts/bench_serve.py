@@ -59,9 +59,10 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
-    from opadpo_tpu.engine.continuous import ContinuousEngine
     from opadpo_tpu.engine.sampler import Sampler
-    from opadpo_tpu.engine.sampling import SamplingConfig
+    from opadpo_tpu.engine.serving_config import (
+        make_continuous_engine, make_serving_sampling,
+    )
     from opadpo_tpu.models import llama as llama_model
     from opadpo_tpu.models import llava as llava_model
     from opadpo_tpu.ops import quant
@@ -108,20 +109,22 @@ def main():
         return (f"request latency mean {lat.mean():.1f}s "
                 f"p50 {np.percentile(lat, 50):.1f}s "
                 f"p95 {np.percentile(lat, 95):.1f}s")
-    sampling = SamplingConfig(max_new_tokens=args.max_new, temperature=1.0,
-                              top_k=30, top_p=0.95, eos_token_id=-1,
-                              pad_token_id=0)
+    # shared constructor (engine/serving_config): program-affecting
+    # values are pinned there so this benchmark's compiled programs are
+    # byte-identical to serve.py's (eos/pad are traced decode args)
+    sampling = make_serving_sampling(max_new_tokens=args.max_new,
+                                     eos_token_id=-1)
 
     if args.mode in ("both", "continuous"):
         # ONE engine across warmup and timed pass: the jit wrappers are
         # per-instance, so a fresh engine would re-trace inside the timed
         # region (the drained pool is reusable — admission overwrites)
-        eng = ContinuousEngine(cfg, sampling, params,
-                               max_batch=args.slots,
-                               qlen=args.query_len,
-                               seg_len=args.seg_len,
-                               max_admit_group=args.admit_group,
-                               kv_bits=args.kv_bits)
+        eng = make_continuous_engine(cfg, sampling, params,
+                                     slots=args.slots,
+                                     qlen=args.query_len,
+                                     seg_len=args.seg_len,
+                                     max_admit_group=args.admit_group,
+                                     kv_bits=args.kv_bits)
 
         def run_continuous():
             for q, m, im, budget in reqs:
@@ -165,10 +168,8 @@ def main():
                 cap = -(-max(c[3] for c in chunk[:n_real]) // 128) * 128
                 if cap not in samplers:
                     samplers[cap] = Sampler(
-                        cfg, SamplingConfig(
-                            max_new_tokens=cap, temperature=1.0,
-                            top_k=30, top_p=0.95, eos_token_id=-1,
-                            pad_token_id=0),
+                        cfg, make_serving_sampling(
+                            max_new_tokens=cap, eos_token_id=-1),
                         kv_bits=args.kv_bits, head_bits=args.head_bits,
                         chunk=256)
                 out = samplers[cap].generate(params_d, q, m, im,
