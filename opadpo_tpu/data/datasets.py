@@ -19,23 +19,26 @@ import numpy as np
 from opadpo_tpu.constants import DEFAULT_IMAGE_TOKEN, IGNORE_INDEX
 from opadpo_tpu.data import conversation as conversation_lib
 from opadpo_tpu.data.collators import DPOCollator, QueryCollator, SFTCollator
-from opadpo_tpu.data.image_processing import clip_preprocess, load_image
+from opadpo_tpu.data.image_processing import preprocess_image
 from opadpo_tpu.data.tokenization import preprocess, tokenizer_image_token
 
 
-def _decode_image(item: Dict, image_dir: Optional[str] = None):
+def _image_source(item: Dict, image_dir: Optional[str] = None):
+    """Raw image source (path or encoded bytes) for a dataset row —
+    JPEG bytes ride the native C++ preprocess (image_processing.
+    preprocess_image); decode happens there, never eagerly via PIL."""
     import os
     for key in ("images", "image_id"):
         src = item.get(key)
         if isinstance(src, str) and src:
             path = os.path.join(image_dir, src) if image_dir else src
             if os.path.exists(path):
-                return load_image(path)
+                return path
     if item.get("image_bytes"):
         raw = item["image_bytes"]
         if isinstance(raw, str):
             raw = base64.b64decode(raw.encode("utf-8"))
-        return load_image(raw)
+        return raw
     raise ValueError("No image found in dataset item")
 
 
@@ -55,9 +58,8 @@ class DPODataset:
 
     def __getitem__(self, idx: int) -> Dict:
         item = self.dataset[int(idx)]
-        image = _decode_image(item, self.image_dir)
-        pixel = clip_preprocess(image, pad_to_square=True,
-                                size=self.image_size)
+        pixel = preprocess_image(_image_source(item, self.image_dir),
+                                 size=self.image_size)
         query = (conversation_lib.DPO_QUERY_PREFIX
                  + item["queries"].replace(DEFAULT_IMAGE_TOKEN, "图 ")
                  + conversation_lib.DPO_QUERY_SUFFIX)
@@ -95,9 +97,8 @@ class SFTDataset:
         base_idx, which = divmod(int(idx), 2)
         item = self.dataset[base_idx]
         response_key = "standard_response" if which == 0 else "AI_pseudo_response"
-        image = _decode_image(item, self.image_dir)
-        pixel = clip_preprocess(image, pad_to_square=True,
-                                size=self.image_size)
+        pixel = preprocess_image(_image_source(item, self.image_dir),
+                                 size=self.image_size)
 
         query = item["queries"]
         if DEFAULT_IMAGE_TOKEN not in query:
@@ -135,9 +136,8 @@ class QueryDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         item = self.dataset[int(idx)]
-        image = _decode_image(item, self.image_dir)
-        pixel = clip_preprocess(image, pad_to_square=True,
-                                size=self.image_size)
+        pixel = preprocess_image(_image_source(item, self.image_dir),
+                                 size=self.image_size)
 
         query = item["queries"] if "queries" in item else item["question"]
         if DEFAULT_IMAGE_TOKEN not in query:

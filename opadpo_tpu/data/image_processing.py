@@ -90,3 +90,81 @@ def load_image(source, image_dir: Optional[str] = None) -> Image.Image:
             return Image.open(path)
         return Image.open(io.BytesIO(base64.b64decode(source.encode())))
     raise TypeError(f"unsupported image source: {type(source)}")
+
+
+# ---------------------------------------------------------------------
+# Unified preprocessing entry: native C++ (libjpeg + OpenMP,
+# native/image_pipeline.cpp) by default for JPEG bytes, PIL otherwise.
+# The native path matches PIL within mean|diff| < 0.02 normalized units
+# (float separable bicubic vs Pillow fixed-point — tests/
+# test_native_image.py); strict-parity evals opt out via
+# --pil-preprocess / set_pil_preprocess(True) / OPADPO_PIL_PREPROCESS=1.
+
+import os as _os
+
+_PIL_ONLY = bool(int(_os.environ.get("OPADPO_PIL_PREPROCESS", "0")))
+
+
+def set_pil_preprocess(flag: bool) -> None:
+    """Force the PIL path everywhere (strict HF-numerics parity mode)."""
+    global _PIL_ONLY
+    _PIL_ONLY = bool(flag)
+
+
+def _resolve_bytes(source, image_dir: Optional[str]) -> Optional[bytes]:
+    """Raw encoded bytes for a source, or None when only a decoded
+    PIL/array form exists (those take the PIL path)."""
+    if isinstance(source, bytes):
+        return source
+    if isinstance(source, str):
+        path = _os.path.join(image_dir, source) if image_dir else source
+        if _os.path.exists(path):
+            with open(path, "rb") as f:
+                return f.read()
+        try:
+            return base64.b64decode(source.encode())
+        except Exception:
+            return None
+    return None
+
+
+def preprocess_images(sources, image_dir: Optional[str] = None,
+                      size: int = CROP_SIZE,
+                      pad_to_square: bool = True) -> np.ndarray:
+    """Source list (paths / bytes / base64 / PIL) → f32 [N, size, size, 3].
+
+    JPEG byte sources ride the native batch pipeline (one OpenMP call
+    decodes + expand2squares + resizes + normalizes the whole batch —
+    reference PIL loop: ``utils/data_utils_dpo.py:319-341``); everything
+    else (PNG, PIL objects, pil-only mode, native build unavailable)
+    falls back per-image to ``clip_preprocess``."""
+    n = len(sources)
+    out = np.empty((n, size, size, 3), np.float32)
+    native_idx: list = []
+    native_bytes: list = []
+    if not _PIL_ONLY and pad_to_square:
+        from opadpo_tpu.data.native_image import _is_jpeg, native_available
+        if native_available():
+            for i, s in enumerate(sources):
+                b = _resolve_bytes(s, image_dir)
+                if b is not None and _is_jpeg(b):
+                    native_idx.append(i)
+                    native_bytes.append(b)
+    if native_bytes:
+        from opadpo_tpu.data.native_image import preprocess_jpeg_batch
+        sub = preprocess_jpeg_batch(native_bytes, out_size=size)
+        for k, i in enumerate(native_idx):
+            out[i] = sub[k]
+    remaining = set(range(n)) - set(native_idx)
+    for i in remaining:
+        out[i] = clip_preprocess(load_image(sources[i], image_dir),
+                                 pad_to_square=pad_to_square, size=size)
+    return out
+
+
+def preprocess_image(source, image_dir: Optional[str] = None,
+                     size: int = CROP_SIZE,
+                     pad_to_square: bool = True) -> np.ndarray:
+    """Single-image convenience wrapper over ``preprocess_images``."""
+    return preprocess_images([source], image_dir=image_dir, size=size,
+                             pad_to_square=pad_to_square)[0]

@@ -28,7 +28,7 @@ import numpy as np
 
 from opadpo_tpu.constants import DEFAULT_IMAGE_TOKEN
 from opadpo_tpu.data import conversation as conversation_lib
-from opadpo_tpu.data.image_processing import clip_preprocess, load_image
+from opadpo_tpu.data.image_processing import preprocess_images
 from opadpo_tpu.data.tokenization import tokenizer_image_token
 from opadpo_tpu.engine.sampler import Sampler, truncate_after_tokens
 from opadpo_tpu.engine.sampling import SamplingConfig
@@ -130,8 +130,9 @@ def run_inference(
                 prompt = build_prompt(q["text"], short_eval)
                 ids = tokenizer_image_token(prompt, tokenizer)
                 ids_rows.append(np.asarray(ids, np.int64))
-                img = load_image(q["image"], image_dir)
-                pixels.append(clip_preprocess(img, size=img_size))
+            # one native batch decode per chunk (PIL fallback inside)
+            pixels = list(preprocess_images([q["image"] for q in chunk],
+                                            image_dir, size=img_size))
 
             # bucket prompt length to multiples of 64 and pad the batch to
             # full size — each unique (qlen, batch) shape is a fresh ~3 min
@@ -212,10 +213,10 @@ def _run_inference_continuous(
         # keep one admission wave queued ahead of the decode segments
         while next_q < len(questions) and len(eng._queue) < slots:
             q = questions[next_q]
-            img = load_image(q["image"], image_dir)
+            pix = preprocess_images([q["image"]], image_dir,
+                                    size=img_size)[0]
             rid = eng.add_request(rows[next_q],
-                                  np.ones_like(rows[next_q]),
-                                  clip_preprocess(img, size=img_size))
+                                  np.ones_like(rows[next_q]), pix)
             rid_to_idx[rid] = next_q
             next_q += 1
         for rid, toks in eng.step():
@@ -267,11 +268,18 @@ def main():
                         "wins on variable-length generative benchmarks")
     p.add_argument("--seg-len", type=int, default=64,
                    help="continuous mode: decode steps per segment")
+    p.add_argument("--pil-preprocess", action="store_true",
+                   help="force the PIL image path (strict HF-numerics "
+                        "parity) instead of the native C++ JPEG pipeline")
     p.add_argument("--visual-tokens", type=int, default=0,
                    help="training-free visual-token pruning: keep only "
                         "the top-K projected patches (0 = all 576, "
                         "reference numerics)")
     args = p.parse_args()
+
+    if args.pil_preprocess:
+        from opadpo_tpu.data.image_processing import set_pil_preprocess
+        set_pil_preprocess(True)
 
     from opadpo_tpu.models.loader import load_peft_adapter
     from opadpo_tpu.pipeline.runtime import (

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from opadpo_tpu.data.image_processing import clip_preprocess, load_image
+from opadpo_tpu.data.image_processing import preprocess_images
 from opadpo_tpu.data.tokenization import tokenizer_image_token
 from opadpo_tpu.eval.model_vqa import build_prompt, iter_jsonl_questions
 from opadpo_tpu.models import llava as llava_model
@@ -62,9 +62,8 @@ def run_logit_inference(
                 ids = tokenizer_image_token(
                     build_prompt(q["text"], short_eval), tokenizer)
                 rows.append(np.asarray(ids, np.int64))
-                pixels.append(clip_preprocess(load_image(q["image"],
-                                                         image_dir),
-                                              size=img_size))
+            pixels = list(preprocess_images([q["image"] for q in chunk],
+                                            image_dir, size=img_size))
             longest = max(len(r) for r in rows)
             qlen = max(query_len, -(-longest // 64) * 64)
             queries = np.zeros((batch_size, qlen), np.int64)

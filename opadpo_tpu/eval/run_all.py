@@ -39,7 +39,14 @@ def main():
                    help="Object-Hal: extract mentioned objects with the "
                         "GPT-4 API (the reference's shipped mode) instead "
                         "of the regex+synonym matcher (needs API_KEY)")
+    p.add_argument("--pil-preprocess", action="store_true",
+                   help="force the PIL image path (strict HF-numerics "
+                        "parity) instead of the native C++ JPEG pipeline")
     args = p.parse_args()
+
+    if args.pil_preprocess:
+        from opadpo_tpu.data.image_processing import set_pil_preprocess
+        set_pil_preprocess(True)
 
     from opadpo_tpu.eval import model_vqa as mv
     from opadpo_tpu.models.loader import load_peft_adapter

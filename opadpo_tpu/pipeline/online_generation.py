@@ -108,6 +108,10 @@ def correct_one(api: APIService, question: str, response: str,
 
 def run(cfg: Config) -> None:
     t = cfg.training if "training" in cfg else Config()
+    if bool(t.get("pil_preprocess", False)):
+        # strict HF-numerics image path (native C++ JPEG pipeline off)
+        from opadpo_tpu.data.image_processing import set_pil_preprocess
+        set_pil_preprocess(True)
     output_dir = os.environ.get("OUTPUT_DIR", cfg.get_path(
         "training.output_dir", "./output"))
     rollout_dir = os.path.join(output_dir, "rollouts")

@@ -44,6 +44,10 @@ logger = logging.getLogger("opa_train")
 
 def train(cfg: Config) -> None:
     t = cfg.training
+    if bool(t.get("pil_preprocess", False)):
+        # strict HF-numerics image path (native C++ JPEG pipeline off)
+        from opadpo_tpu.data.image_processing import set_pil_preprocess
+        set_pil_preprocess(True)
     output_dir = os.environ.get("OUTPUT_DIR", t.get("output_dir", "./output"))
     os.makedirs(output_dir, exist_ok=True)
     save_config(cfg, output_dir)

@@ -93,27 +93,27 @@ class InferenceWorker:
                     s["done"].set()
 
     def _run_batch(self, slots: List[Dict]):
-        from opadpo_tpu.data.image_processing import clip_preprocess, load_image
+        from PIL import Image
+
+        from opadpo_tpu.data.image_processing import preprocess_images
         from opadpo_tpu.data.tokenization import tokenizer_image_token
         from opadpo_tpu.eval.model_vqa import build_prompt
         from opadpo_tpu.engine.sampler import truncate_after_tokens
 
         img_size = self.cfg.vision.image_size
         b = self.max_batch                      # fixed shape → one compile
-        rows, pixels = [], []
+        rows, srcs = [], []
         for s in slots:
             req = s["request"]
             prompt = build_prompt(req.get("prompt", ""))
             rows.append(np.asarray(tokenizer_image_token(
                 prompt, self.tokenizer), np.int64))
             img_b64 = req.get("image_b64")
-            if img_b64:
-                from PIL import Image
-                img = Image.open(io.BytesIO(base64.b64decode(img_b64)))
-            else:
-                from PIL import Image
-                img = Image.new("RGB", (img_size, img_size))
-            pixels.append(clip_preprocess(img, size=img_size))
+            srcs.append(base64.b64decode(img_b64) if img_b64
+                        else Image.new("RGB", (img_size, img_size)))
+        # JPEG payloads decode in ONE native OpenMP batch — admission
+        # preprocess is host-side latency in front of every request
+        pixels = list(preprocess_images(srcs, size=img_size))
 
         longest = max(len(r) for r in rows)
         qlen = max(128, -(-longest // 64) * 64)
@@ -200,10 +200,11 @@ class ContinuousWorker:
     submit = InferenceWorker.submit
 
     def _admit(self, slot: Dict):
-        from opadpo_tpu.data.image_processing import clip_preprocess
+        from PIL import Image
+
+        from opadpo_tpu.data.image_processing import preprocess_images
         from opadpo_tpu.data.tokenization import tokenizer_image_token
         from opadpo_tpu.eval.model_vqa import build_prompt
-        from PIL import Image
 
         req = slot["request"]
         img_size = self.cfg.vision.image_size
@@ -211,9 +212,9 @@ class ContinuousWorker:
         ids = np.asarray(tokenizer_image_token(prompt, self.tokenizer),
                          np.int64)
         img_b64 = req.get("image_b64")
-        img = (Image.open(io.BytesIO(base64.b64decode(img_b64)))
-               if img_b64 else Image.new("RGB", (img_size, img_size)))
-        pixels = clip_preprocess(img, size=img_size)
+        src = (base64.b64decode(img_b64) if img_b64
+               else Image.new("RGB", (img_size, img_size)))
+        pixels = preprocess_images([src], size=img_size)[0]
         rid = self.engine.add_request(ids, np.ones_like(ids), pixels,
                                       max_new=req.get("max_new_tokens"))
         self._pending[rid] = slot
@@ -332,7 +333,14 @@ def main():
                    help="EXPERIMENTAL training-free visual-token pruning: "
                         "keep only the top-K projected patches (0 = all "
                         "576); quality unvalidated on real weights")
+    p.add_argument("--pil-preprocess", action="store_true",
+                   help="force the PIL image path (strict HF-numerics "
+                        "parity) instead of the native C++ JPEG pipeline")
     args = p.parse_args()
+
+    if args.pil_preprocess:
+        from opadpo_tpu.data.image_processing import set_pil_preprocess
+        set_pil_preprocess(True)
 
     from opadpo_tpu.models.loader import load_peft_adapter
     from opadpo_tpu.pipeline.runtime import load_tokenizer, setup_model

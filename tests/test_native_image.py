@@ -95,3 +95,50 @@ def test_device_preprocess_close_to_host():
     diff = np.abs(host - dev)
     assert diff.mean() < 0.05
     assert np.quantile(diff, 0.95) < 0.2
+
+
+def test_preprocess_images_dispatch(sample_jpeg):
+    """Production dispatcher (image_processing.preprocess_images): JPEG
+    bytes ride the native path (within the documented tolerance of PIL);
+    set_pil_preprocess(True) forces exact PIL equality; PNG bytes always
+    fall back to PIL exactly."""
+    from opadpo_tpu.data.image_processing import (
+        clip_preprocess, preprocess_image, preprocess_images,
+        set_pil_preprocess,
+    )
+
+    jpeg, arr = sample_jpeg
+    ref = clip_preprocess(Image.open(io.BytesIO(jpeg)), size=336)
+
+    out = preprocess_image(jpeg, size=336)
+    assert np.abs(out - ref).mean() < 0.02      # native ~= PIL
+
+    try:
+        set_pil_preprocess(True)
+        out_pil = preprocess_images([jpeg], size=336)[0]
+        np.testing.assert_array_equal(out_pil, ref)   # exact PIL path
+    finally:
+        set_pil_preprocess(False)
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    out_png = preprocess_image(buf.getvalue(), size=64)
+    ref_png = clip_preprocess(Image.fromarray(arr), size=64)
+    np.testing.assert_allclose(out_png, ref_png, atol=1e-5)
+
+
+def test_dataset_rows_ride_dispatcher(tmp_path, sample_jpeg):
+    """datasets.py production rows route through preprocess_image — a
+    JPEG image_bytes row must produce the dispatcher's output bit-exactly
+    (native when available)."""
+    import base64
+
+    from opadpo_tpu.data.datasets import _image_source
+    from opadpo_tpu.data.image_processing import preprocess_image
+
+    jpeg, _ = sample_jpeg
+    item = {"image_bytes": base64.b64encode(jpeg).decode()}
+    src = _image_source(item)
+    assert isinstance(src, bytes) and src[:3] == b"\xff\xd8\xff"
+    out = preprocess_image(src, size=336)
+    assert out.shape == (336, 336, 3)
