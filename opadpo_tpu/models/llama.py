@@ -847,6 +847,80 @@ def _decode_layer(x, lp, ll, pk, pv, sk, sv, *, cfg, lora_scaling,
     return x, sk, sv
 
 
+def _decode_layer_multi(x, lp, ll, pk, pv, sk, sv, *, cfg, lora_scaling,
+                        positions, step, pm, cos, sin, pbias=None,
+                        sp_used=None):
+    """One decoder layer over G tokens at once (speculative verify).
+
+    Identical contract to ``_decode_layer`` with a G axis: the G new
+    tokens write KV rows ``[step, step+G)`` and attend causally within
+    the group (query g sees suffix rows ≤ step+g) plus the whole prompt
+    cache — which streams HBM→VMEM ONCE for all G queries
+    (``decode_attention_prompt_multi``); that single read is the entire
+    bandwidth argument for speculative decoding on this chip."""
+    b, g = x.shape[0], x.shape[1]
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    assert nh == nkv, "speculative verify requires MHA (7B/13B are)"
+    n_max = sk.shape[1]
+    scale = hd ** -0.5
+
+    h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+    q, k, v = _qkv_proj(h, lp, ll, cfg, lora_scaling)
+    q = q.reshape(b, g, nh, hd)
+    k = k.reshape(b, g, nkv, hd)
+    v = v.reshape(b, g, nkv, hd)
+    pos_g = positions[:, None] + jnp.arange(g, dtype=positions.dtype)
+    q, k = apply_rope(q, k, cos, sin, pos_g)
+
+    sk = jax.lax.dynamic_update_slice(sk, k.astype(sk.dtype),
+                                      (0, step, 0, 0))
+    sv = jax.lax.dynamic_update_slice(sv, v.astype(sv.dtype),
+                                      (0, step, 0, 0))
+
+    qh = jnp.swapaxes(q, 1, 2)                       # [B, H, G, hd]
+    ss_scores = jnp.einsum("bhgd,bshd->bhgs", qh, sk,
+                           preferred_element_type=jnp.float32) * scale
+    # suffix causality: query g sees rows <= step + g
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, n_max), 1)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (g, n_max), 0)
+    suf_valid = (row <= step + qi)[None, None]       # [1, 1, G, n_max]
+    ss_scores = jnp.where(suf_valid, ss_scores, _NEG_INF)
+    if isinstance(pk, dict):
+        from opadpo_tpu.ops.decode_attention import (
+            decode_attention_prompt_multi,
+        )
+        assert "q4" not in pk, "speculative verify supports kv8/kv16"
+        out_p, m_p, l_p = decode_attention_prompt_multi(
+            qh.astype(x.dtype), pk["q"], pk["scale"], pv["q"],
+            pv["scale"], pbias, scale, s_used=sp_used)
+        m_s = jnp.max(ss_scores, axis=-1)            # [B, H, G]
+        m = jnp.maximum(m_p, m_s)
+        alpha_p = jnp.exp(m_p - m)
+        p_s = jnp.exp(ss_scores - m[..., None])
+        l = l_p * alpha_p + jnp.sum(p_s, axis=-1)
+        out_s = jnp.einsum("bhgs,bshd->bhgd", p_s.astype(sv.dtype), sv,
+                           preferred_element_type=jnp.float32)
+        out = (out_p * alpha_p[..., None] + out_s) / l[..., None]
+    else:
+        sp_scores = jnp.einsum("bhgd,bshd->bhgs", qh, pk,
+                               preferred_element_type=jnp.float32) * scale
+        sp_scores = jnp.where(pm[:, :, None, :], sp_scores, _NEG_INF)
+        sp_n = pk.shape[1]
+        scores = jnp.concatenate([sp_scores, ss_scores], axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = (jnp.einsum("bhgs,bshd->bhgd",
+                          probs[..., :sp_n].astype(pv.dtype), pv,
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bhgs,bshd->bhgd",
+                            probs[..., sp_n:].astype(sv.dtype), sv,
+                            preferred_element_type=jnp.float32))
+    attn = jnp.swapaxes(out, 1, 2).reshape(b, g, nh * hd).astype(x.dtype)
+    x = x + lora_dense(attn, lp["wo"], tree_get(ll, "wo"), lora_scaling)
+    h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+    x = x + _mlp_block(h, lp, ll, lora_scaling, cfg)
+    return x, sk, sv
+
+
 def quantize_head_for_decode(params: dict, bits: int) -> dict:
     """Quantize ``lm_head`` in a DECODE-ONLY param layout.  The reference
     (and ``quant.quantize_params``) always skips lm_head — training and
@@ -887,6 +961,31 @@ def _decode_head(x, params, lora, cfg, lora_scaling):
         logits = logits + jnp.einsum(
             "bsr,rv->bsv", xa.astype(head_lora["b"].dtype), head_lora["b"],
             preferred_element_type=jnp.float32)[:, 0] * lora_scaling
+    return logits
+
+
+def _decode_head_multi(x, params, lora, cfg, lora_scaling):
+    """``_decode_head`` over all G positions → logits [B, G, V]."""
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params["lm_head"]
+    if isinstance(head, dict):
+        from opadpo_tpu.ops import quant
+        x2 = x.reshape(-1, x.shape[-1])
+        if "q4" in head:
+            l2 = quant.quant_matmul4(x2, head, out_dtype=jnp.float32)
+        else:
+            l2 = quant.quant_matmul(x2, head, out_dtype=jnp.float32)
+        logits = l2.reshape(*x.shape[:-1], -1)
+    else:
+        logits = jnp.einsum("bsd,dv->bsv", x, head,
+                            preferred_element_type=jnp.float32)
+    head_lora = tree_get(lora, "lm_head")
+    if head_lora is not None:
+        xa = jnp.einsum("bsd,dr->bsr", x, head_lora["a"],
+                        preferred_element_type=jnp.float32)
+        logits = logits + jnp.einsum(
+            "bsr,rv->bsv", xa.astype(head_lora["b"].dtype), head_lora["b"],
+            preferred_element_type=jnp.float32) * lora_scaling
     return logits
 
 
@@ -1041,6 +1140,55 @@ def decode_forward_unrolled(
         x, sk, sv = _decode_layer(x, lp, ll, pk, pv, sk, sv, **kw)
         new_suffix.append((sk, sv))
     logits = _decode_head(x, params, lora, cfg, lora_scaling)
+    return logits, new_suffix
+
+
+def decode_forward_multi(
+    params: dict,                 # {"layer_list": [...]} (unstacked)
+    cfg: LlamaConfig,
+    embeds: jax.Array,            # [B, G, D] — carry token + G−1 drafts
+    prompt_kv: list,              # L × (pk, pv) bf16 or int8 dicts
+    prompt_mask: jax.Array,       # [B, Sp]
+    suffix_kv: list,              # L × (sk [B, Nmax, H, hd], sv)
+    step: jax.Array,              # scalar: first suffix slot this group
+    positions: jax.Array,         # [B] RoPE position of embeds[:, 0]
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+    sp_used: Optional[int] = None,
+) -> Tuple[jax.Array, list]:
+    """G-token decode forward (speculative verify) → (logits [B, G, V],
+    suffix).  Weights and the prompt cache stream ONCE for all G
+    positions — on this bandwidth-bound chip that makes verifying G
+    drafts cost ≈ one normal decode step (engine/speculative.py).
+    Group KV lands at suffix rows ``[step, step+G)``; the caller
+    advances ``step`` by the number of ACCEPTED+1 tokens so rejected
+    rows are overwritten by the next group (batch-synchronized layout,
+    no per-row scatter)."""
+    cos, sin = rope_frequencies(cfg.head_dim,
+                                int(cfg.max_position_embeddings),
+                                cfg.rope_base, dtype=jnp.float32)
+    pm = (prompt_mask != 0)[:, None, :]
+    pbias = None
+    if isinstance(prompt_kv[0][0], dict):
+        sp_pad = prompt_kv[0][0]["scale"].shape[2]
+        sp = prompt_mask.shape[1]
+        pbias = jnp.pad(
+            jnp.where(prompt_mask != 0, 0.0, _NEG_INF).astype(jnp.float32),
+            ((0, 0), (0, sp_pad - sp)), constant_values=_NEG_INF)
+    kw = dict(cfg=cfg, lora_scaling=lora_scaling, positions=positions,
+              step=step, pm=pm, cos=cos, sin=sin, pbias=pbias,
+              sp_used=sp_used)
+
+    lora_list = tree_get(lora, "layer_list")
+    x = embeds
+    new_suffix = []
+    for i, lp in enumerate(params["layer_list"]):
+        ll = lora_list[i] if lora_list is not None else None
+        pk, pv = prompt_kv[i]
+        sk, sv = suffix_kv[i]
+        x, sk, sv = _decode_layer_multi(x, lp, ll, pk, pv, sk, sv, **kw)
+        new_suffix.append((sk, sv))
+    logits = _decode_head_multi(x, params, lora, cfg, lora_scaling)
     return logits, new_suffix
 
 

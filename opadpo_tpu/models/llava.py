@@ -419,6 +419,27 @@ def decode_step_unrolled(
         lora_scaling=lora_scaling, sp_used=sp_used)
 
 
+def decode_step_multi(
+    params: dict,
+    cfg: LlavaConfig,
+    token_ids: jax.Array,       # [B, G] — carry token + G−1 draft tokens
+    prompt_kv_list: list,
+    prompt_mask: jax.Array,
+    suffix_list: list,
+    step: jax.Array,
+    positions: jax.Array,
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+    sp_used: Optional[int] = None,
+) -> Tuple[jax.Array, list]:
+    """Speculative-verify step → (logits [B, G, V], suffix)."""
+    embeds = llama_model.embed_tokens(params["llama"], token_ids)
+    return llama_model.decode_forward_multi(
+        params["llama"], cfg.llama, embeds, prompt_kv_list, prompt_mask,
+        suffix_list, step, positions, lora=tree_get(lora, "llama"),
+        lora_scaling=lora_scaling, sp_used=sp_used)
+
+
 def decode_step_split(
     params: dict,
     cfg: LlavaConfig,

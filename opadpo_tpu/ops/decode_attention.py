@@ -345,3 +345,162 @@ def decode_attention_prompt4(
     return _prompt_call(decode_attention_prompt4, _kernel4, 2, 256,
                         q, pk_q4, k_scale, pv_q4, v_scale, bias, sm_scale,
                         block_h, block_s, s_used, _local)
+
+
+# ---------------------------------------------------------------------
+# Multi-query (speculative-verify) variant: G draft+carry tokens attend
+# to the int8 prompt cache in ONE pass — the whole point of speculative
+# decoding on this bandwidth-bound chip is that verifying G tokens reads
+# the weights/KV once, so the kernel must not re-stream KV per token.
+# Prompt positions are strictly before every query, so no causal logic
+# is needed here (the G-internal causality lives in the suffix piece —
+# models/llama._decode_layer_multi).
+
+def _kernel_multi(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref,
+                  o_ref, m_ref, l_ref, acc_scr, m_scr, l_scr, *, hblk,
+                  nsb, gq, sm_scale):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        for r in range(hblk * gq):
+            m_scr[r] = _NEG_INF
+            l_scr[r] = 0.0
+
+    bias = bias_ref[0]                              # [1, sblk] f32
+    for h in range(hblk):
+        kb = k_ref[0, h]                            # [sblk, hd] int8
+        vb = v_ref[0, h]
+        qg = q_ref[0, h * gq:(h + 1) * gq].astype(jnp.bfloat16)  # [G, hd]
+        s_all = jax.lax.dot_general(
+            qg, kb.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # [G, sblk]
+        s_all = s_all * (ks_ref[0, h][None, :] * sm_scale) + bias
+        vbf = vb.astype(jnp.bfloat16)
+        for g in range(gq):
+            r = h * gq + g
+            s = s_all[g:g + 1, :]                   # [1, sblk]
+            m_old = m_scr[r]
+            m_new = jnp.maximum(m_old, jnp.max(s))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.exp(s - m_new)
+            l_scr[r] = l_scr[r] * alpha + jnp.sum(p)
+            pw = (p * vs_ref[0, h][None, :]).astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                pw, vbf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [1, hd]
+            acc_scr[r:r + 1, :] = acc_scr[r:r + 1, :] * alpha + pv
+            m_scr[r] = m_new
+
+    @pl.when(kk == nsb - 1)
+    def _():
+        o_ref[0] = acc_scr[:]
+        for r in range(hblk * gq):
+            m_ref[0, r, 0] = m_scr[r]
+            l_ref[0, r, 0] = l_scr[r]
+
+
+def decode_attention_prompt_multi(
+    q: jax.Array,          # [B, H, G, hd] post-rope queries (G tokens)
+    pk_q: jax.Array,       # [B, H, Sp_pad, hd] int8
+    k_scale: jax.Array,    # [B, H, Sp_pad] f32
+    pv_q: jax.Array,       # [B, H, Sp_pad] f32
+    v_scale: jax.Array,    # [B, H, Sp_pad] f32
+    bias: jax.Array,       # [B, Sp_pad] f32 additive (0 valid / -1e30)
+    sm_scale: float,
+    block_h: int = 8,
+    block_s: int = 1024,
+    s_used: int | None = None,
+    _local: bool = False,
+) -> tuple:
+    """→ (out_unnormalized [B, H, G, hd] f32, m [B, H, G], l [B, H, G]).
+
+    Same flash-state contract as ``decode_attention_prompt`` with a
+    G-query axis folded into the head rows: the q/out/m/l blocks carry
+    ``hblk·G`` rows so the (second-to-last-axis) Mosaic tiling rule
+    holds whenever ``hblk`` does (hblk is 8-aligned or the whole H, and
+    rows are contiguous per head).  KV streams HBM→VMEM ONCE for all G
+    queries.  Runs in a shard_map under TP like the G=1 kernel."""
+    b, h, gq, hd = q.shape
+    sp = k_scale.shape[2]
+    if s_used is not None:
+        assert 0 < s_used <= sp and s_used % 128 == 0, (s_used, sp)
+        sp = s_used
+
+    from opadpo_tpu.ops.attention import get_tp_mesh
+    mesh = None if _local else get_tp_mesh()
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from opadpo_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        n_data = mesh.shape.get(DATA_AXIS, 1)
+        n_model = mesh.shape.get(MODEL_AXIS, 1)
+        if b % n_data == 0 and h % n_model == 0 and n_model > 1:
+            q_spec = P(DATA_AXIS, MODEL_AXIS, None, None)
+            kv_spec_p = P(DATA_AXIS, MODEL_AXIS, None, None)
+            sc_spec_p = P(DATA_AXIS, MODEL_AXIS, None)
+            fn = shard_map(
+                lambda q_, pk_, ks_, pv_, vs_, bi_:
+                decode_attention_prompt_multi(
+                    q_, pk_, ks_, pv_, vs_, bi_, sm_scale,
+                    block_h=block_h, block_s=block_s, s_used=s_used,
+                    _local=True),
+                mesh=mesh,
+                in_specs=(q_spec, kv_spec_p, sc_spec_p, kv_spec_p,
+                          sc_spec_p, P(DATA_AXIS, None)),
+                out_specs=(q_spec, P(DATA_AXIS, MODEL_AXIS, None),
+                           P(DATA_AXIS, MODEL_AXIS, None)),
+                check_vma=False,
+            )
+            return fn(q, pk_q, k_scale, pv_q, v_scale, bias)
+
+    hblk = _pick_hblk(h, block_h)
+    sblk = _pick_sblk(sp, block_s, 128)
+    nsb = sp // sblk
+    grid = (b, h // hblk, nsb)
+
+    # queries flattened to [B, H*G, hd]: per-head G rows stay contiguous
+    qf = q.reshape(b, h * gq, hd)
+    rows = hblk * gq
+
+    kv_spec = pl.BlockSpec((1, hblk, sblk, hd),
+                           lambda b_, hb, kk: (b_, hb, kk, 0),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, hblk, sblk),
+                           lambda b_, hb, kk: (b_, hb, kk),
+                           memory_space=pltpu.VMEM)
+    ml_spec = pl.BlockSpec((1, rows, 1), lambda b_, hb, kk: (b_, hb, 0),
+                           memory_space=pltpu.SMEM)
+    out, m, l = pl.pallas_call(
+        functools.partial(_kernel_multi, hblk=hblk, nsb=nsb, gq=gq,
+                          sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, rows, hd), lambda b_, hb, kk: (b_, hb, 0),
+                         memory_space=pltpu.VMEM),
+            kv_spec, sc_spec, kv_spec, sc_spec,
+            pl.BlockSpec((1, 1, sblk), lambda b_, hb, kk: (b_, 0, kk),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, hd), lambda b_, hb, kk: (b_, hb, 0),
+                         memory_space=pltpu.VMEM),
+            ml_spec, ml_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h * gq, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, h * gq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h * gq, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, hd), jnp.float32),
+            pltpu.SMEM((rows,), jnp.float32),
+            pltpu.SMEM((rows,), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qf, pk_q, k_scale, pv_q, v_scale, bias[:, None, :])
+    return (out.reshape(b, h, gq, hd), m.reshape(b, h, gq),
+            l.reshape(b, h, gq))

@@ -640,3 +640,48 @@ def test_flash_attention_fused_shared_tp_matches_local():
     for a, b_ in zip(g_tp, g_local):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-2, rtol=5e-2)
+
+
+def test_decode_attention_prompt_multi_matches_single():
+    """Multi-query (speculative-verify) kernel: G queries in one pass
+    must equal G independent single-query kernel calls (same flash-state
+    contract), including under a block_h that splits the head axis and
+    an s_used watermark."""
+    from opadpo_tpu.ops.decode_attention import (
+        decode_attention_prompt, decode_attention_prompt_multi,
+    )
+
+    rng = np.random.default_rng(1)
+    b, h, gq, hd, sp = 2, 16, 5, 128, 512
+    q = jnp.asarray(rng.standard_normal((b, h, gq, hd)) * 0.4, jnp.float32)
+    pk = jnp.asarray(rng.integers(-127, 128, (b, h, sp, hd)), jnp.int8)
+    pv = jnp.asarray(rng.integers(-127, 128, (b, h, sp, hd)), jnp.int8)
+    ks = jnp.asarray(np.abs(rng.standard_normal((b, h, sp))) * 0.01 + 1e-4,
+                     jnp.float32)
+    vs = jnp.asarray(np.abs(rng.standard_normal((b, h, sp))) * 0.01 + 1e-4,
+                     jnp.float32)
+    bias_np = np.zeros((b, sp), np.float32)
+    bias_np[:, 400:] = -1e30
+    bias = jnp.asarray(bias_np)
+    sm = hd ** -0.5
+
+    for kwargs in ({"block_h": 8}, {"block_h": 8, "block_s": 256},
+                   {"block_h": 16, "s_used": 256}):
+        o, m, l = decode_attention_prompt_multi(q, pk, ks, pv, vs, bias,
+                                                sm, **kwargs)
+        assert o.shape == (b, h, gq, hd) and m.shape == (b, h, gq)
+        for g in range(gq):
+            o1, m1, l1 = decode_attention_prompt(
+                q[:, :, g], pk, ks, pv, vs, bias, sm,
+                block_h=kwargs.get("block_h", 16),
+                block_s=kwargs.get("block_s", 1024),
+                s_used=kwargs.get("s_used"))
+            np.testing.assert_allclose(np.asarray(o[:, :, g]),
+                                       np.asarray(o1), atol=1e-4,
+                                       rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(m[:, :, g]),
+                                       np.asarray(m1), atol=1e-5,
+                                       rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(l[:, :, g]),
+                                       np.asarray(l1), atol=1e-4,
+                                       rtol=1e-4)
