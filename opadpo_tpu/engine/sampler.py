@@ -299,9 +299,22 @@ class Sampler:
 
     def __init__(self, cfg: LlavaConfig, sampling: SamplingConfig,
                  lora_scaling: float = 1.0, unroll: bool = True,
-                 kv_bits: int = 16, head_bits: int = 16, chunk: int = 0):
+                 kv_bits: int = 16, head_bits: int = 16, chunk: int = 0,
+                 spec_k: int = 0, spec_draft: str = "ngram"):
         assert kv_bits in (16, 8, 4), kv_bits
         assert head_bits in (16, 8, 4), head_bits
+        # speculative decoding (engine/speculative.py): k drafts verified
+        # per group in one multi-token forward; exact distribution.  v1
+        # scope: unrolled layout, kv16/kv8 cache, no chunking, MHA.
+        if spec_k:
+            assert unroll and chunk == 0 and kv_bits in (16, 8), \
+                "spec decode v1: unrolled, kv_bits 16/8, chunk=0"
+            assert cfg.llama.num_heads == cfg.llama.num_kv_heads
+            assert sampling.greedy or (sampling.top_k or 0) > 0, \
+                "spec sampling needs greedy or top_k > 0"
+        self.spec_k = int(spec_k)
+        self.spec_draft = spec_draft
+        self._spec_fn = None
         # int4 cache: 256 is the packed group size (llama.quantize_
         # prompt_kv_int4) — every length/offset must be 256-aligned
         align = 256 if kv_bits == 4 else 128
@@ -482,6 +495,24 @@ class Sampler:
                     return self._generate_chunked(
                         params, lora, kv_list, pf["key_mask"],
                         pf["next_position"], pf["last_logits"], rng)
+            if self.spec_k:
+                from opadpo_tpu.engine.speculative import (
+                    SpecConfig, decode_loop_spec,
+                )
+                if self._spec_fn is None:
+                    spec = SpecConfig(k=self.spec_k, draft=self.spec_draft)
+                    self._spec_fn = jax.jit(
+                        lambda p, lo, pk, pm, pos, ll, r, e, pd:
+                        decode_loop_spec(
+                            p, self.cfg, list(pk), pm, pos, ll, r,
+                            self.sampling, spec, lora=lo,
+                            lora_scaling=self.lora_scaling,
+                            eos_id=e, pad_id=pd))
+                out, _stats = self._spec_fn(
+                    params, lora, tuple(kv_list), pf["key_mask"],
+                    pf["next_position"], pf["last_logits"], rng,
+                    *self._eos_pad_args())
+                return out
             return self._get_decode(s_prompt)(
                 params, lora, tuple(kv_list), pf["key_mask"],
                 pf["next_position"], pf["last_logits"], rng,

@@ -221,3 +221,24 @@ def test_sampled_spec_output_distribution_is_exact():
     for t in np.asarray(corr[:, 0]):
         counts[int(t)] += 1
     np.testing.assert_allclose(counts / n, target, atol=0.015)
+
+
+def test_sampler_spec_flag_matches_plain_greedy():
+    """Sampler(spec_k=3) greedy generate == Sampler() greedy generate."""
+    from opadpo_tpu.engine.sampler import Sampler
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    ids = jax.random.randint(k1, (2, 10), 5, CFG32.llama.vocab_size)
+    ids = ids.at[:, 2].set(IMAGE_TOKEN_INDEX)
+    mask = jnp.ones((2, 10), jnp.int32)
+    sz = CFG32.vision.image_size
+    images = jax.random.normal(k2, (2, sz, sz, 3))
+    sampling = SamplingConfig(greedy=True, max_new_tokens=8,
+                              eos_token_id=-1, pad_token_id=0)
+    ref = Sampler(CFG32, sampling).generate(
+        PARAMS32, ids, mask, images, jax.random.PRNGKey(0))
+    for kv_bits in (16, 8):
+        out = Sampler(CFG32, sampling, kv_bits=kv_bits, spec_k=3,
+                      spec_draft="ngram").generate(
+            PARAMS32, ids, mask, images, jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
