@@ -98,11 +98,27 @@ def main() -> None:
     ap.add_argument("--platform", choices=("default", "cpu"),
                     default="default",
                     help="cpu: force the CPU backend for a preflight run")
-    ap.add_argument("--out", default=os.path.join(REPO, "E2E_r04.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "E2E_r05.json"))
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--n-prompts", type=int, default=8)
     ap.add_argument("--response-len", type=int, default=128)
+    ap.add_argument("--pope-questions", type=int, default=0,
+                    help="POPE question count (default: n_prompts)")
+    ap.add_argument("--dpo-steps", type=int, default=2)
+    ap.add_argument("--rollout-batch", type=int, default=4,
+                    help="rollout per-device batch (16 matches the "
+                         "bench's warm decode programs)")
+    ap.add_argument("--scale", action="store_true",
+                    help="production-representative scale (VERDICT r5 "
+                         "ask 3): 64 prompts, full 896-token rollouts at "
+                         "the bench decode config, 2 DPO steps at the "
+                         "production batch math, 128 POPE questions")
     args = ap.parse_args()
+    if args.scale:
+        args.n_prompts = max(args.n_prompts, 64)
+        args.response_len = 896
+        args.rollout_batch = 16
+        args.pope_questions = max(args.pope_questions, 128)
 
     if args.platform == "cpu":
         import jax
@@ -152,14 +168,30 @@ def main() -> None:
     _make_prompt_dataset(prompts, args.n_prompts)
 
     # ---- stage 1: rollout generation (dry API) ----
+    # production decode numerics (the bench rollout loop's exact
+    # programs: int4 base + int8 prompt KV + int4 head + chunk 256) —
+    # persistent-cache-warm when bench.py has run on this machine
+    rollout_numerics = ({} if tiny else
+                        {"bits": 4, "kv_bits": 8, "head_bits": 4,
+                         "decode_chunk": 256})
     from opadpo_tpu.pipeline import online_generation
     gen_out = os.path.join(work, "gen")
     with timed("rollout_generation"):
-        online_generation.run(base_cfg(
-            gen_out, prompts, response_len=rlen, query_len=qlen,
-            rollout_per_device_batch_size=1 if tiny else 4,
-            top_k=30, top_p=0.95))
+        online_generation.run(Config({
+            "debug": {"tiny": tiny, "fake_tokenizer": True},
+            "model": {"skip_loading_weights": True},
+            "mesh": {"model": 1},
+            "data": {"data_path": prompts},
+            "training": {"output_dir": gen_out, "seed": 0,
+                         "response_len": rlen, "query_len": qlen,
+                         "rollout_per_device_batch_size":
+                             1 if tiny else args.rollout_batch,
+                         "top_k": 30, "top_p": 0.95,
+                         **rollout_numerics}}))
     rollout_dir = os.path.join(gen_out, "rollouts")
+    shard_times = sorted(
+        os.path.getmtime(os.path.join(rollout_dir, f))
+        for f in os.listdir(rollout_dir))
     _inject_fake_reports(rollout_dir)
 
     # ---- stage 2: dataset construction ----
@@ -186,12 +218,12 @@ def main() -> None:
     dpo_out = os.path.join(work, "dpo_out")
     with timed("opa_dpo"):
         opadpo_train.train(base_cfg(
-            dpo_out, dpo_data, total_epochs=1, max_step=2,
-            rollout_batch_size=args.n_prompts,
-            step_batch_size=args.n_prompts,
+            dpo_out, dpo_data, total_epochs=1, max_step=args.dpo_steps,
+            rollout_batch_size=min(args.n_prompts, 32),
+            step_batch_size=min(args.n_prompts, 32),
             rollout_per_device_batch_size=1 if tiny else 2,
             step_per_device_batch_size=1 if tiny else 2,
-            noptepochs=1, save_steps=1000,
+            noptepochs=1 if tiny else 2, save_steps=1000,
             query_len=256, response_len=max(rlen // 2, 16),
             lora_r=4 if tiny else 64, lora_alpha=8 if tiny else 128,
             CoPO=True, CoPO_method="random", AncPO=True, warmup_steps=0))
@@ -207,7 +239,7 @@ def main() -> None:
     qfile = os.path.join(work, "pope.jsonl")
     img_dir = os.path.join(work, "pope_imgs")
     answers = os.path.join(work, "pope_answers.jsonl")
-    _pope_questions(qfile, img_dir, args.n_prompts)
+    _pope_questions(qfile, img_dir, args.pope_questions or args.n_prompts)
     with timed("pope_eval"):
         cfg = LlavaConfig.tiny() if tiny else LlavaConfig.llava_7b()
         if tiny:
@@ -231,12 +263,93 @@ def main() -> None:
                       short_eval=True, query_len=qlen)
         metrics = evaluate_pope_files(answers, qfile)
 
+    # ---- steady-state per-stage rates (compile excluded) ----
+    def _jsonl_step_seconds(path):
+        """Median wall_s delta between consecutive logged steps,
+        excluding the first delta (which carries the compile)."""
+        try:
+            with open(path) as f:
+                walls = [json.loads(ln).get("wall_s") for ln in f]
+            walls = [w for w in walls if w is not None]
+            deltas = [b - a for a, b in zip(walls, walls[1:])]
+            deltas = deltas[1:] if len(deltas) > 2 else deltas
+            if not deltas:
+                return None
+            deltas.sort()
+            return round(deltas[len(deltas) // 2], 3)
+        except OSError:
+            return None
+
+    steady = {}
+    # rollout: per-shard mtime gaps = per-batch wall; steady excludes
+    # the first (compile-heavy) batch
+    if len(shard_times) >= 3:
+        gaps = sorted(b - a for a, b in zip(shard_times, shard_times[1:]))
+        med = gaps[len(gaps) // 2]
+        bsz = 1 if tiny else args.rollout_batch
+        steady["rollout_tokens_per_sec"] = round(rlen * bsz / med, 1)
+    sft_step_s = _jsonl_step_seconds(os.path.join(opa_out,
+                                                  "train_log.jsonl"))
+    if sft_step_s:
+        steady["sft_seconds_per_microstep"] = sft_step_s
+    dpo_step_s = _jsonl_step_seconds(os.path.join(dpo_out,
+                                                  "train_log.jsonl"))
+    if dpo_step_s:
+        steady["dpo_seconds_per_logged_step"] = dpo_step_s
+
+    # ---- projection check vs the bench-derived hot-loop rates ----
+    # (VERDICT r5 ask 3: the 20.9/59-minute stage projections must
+    # survive composition; flag any stage off by > 20%)
+    projection_check = {}
+    bench = {}
+    try:
+        with open(os.path.join(REPO, "bench_last_good.json")) as f:
+            bench = json.load(f)["result"].get("hot_loops", {})
+    except (OSError, KeyError, json.JSONDecodeError):
+        pass
+
+    def _check(name, measured, bench_val, invert=False):
+        if measured is None or not bench_val:
+            return
+        ratio = (measured / bench_val) if not invert else             (bench_val / measured)
+        projection_check[name] = {
+            "composed": measured, "bench": bench_val,
+            "ratio": round(ratio, 3),
+            "off_by_gt_20pct": bool(abs(ratio - 1.0) > 0.20),
+        }
+
+    _check("rollout_tokens_per_sec",
+           steady.get("rollout_tokens_per_sec"),
+           bench.get("rollout_decode", {}).get("tokens_per_sec"))
+    _check("sft_seconds_per_step",
+           steady.get("sft_seconds_per_microstep"),
+           bench.get("sft_step", {}).get("seconds_per_step"))
+    # the composed DPO logged step = per-pair reference scoring plus
+    # noptepochs policy micro-steps over rollout_batch/step_batch rows —
+    # the same batch math the v5e-8 stage projection assumes
+    dpo_bench = bench.get("dpo_step", {})
+    if (steady.get("dpo_seconds_per_logged_step")
+            and dpo_bench.get("seconds_per_step")
+            and dpo_bench.get("rollout_score_seconds") is not None):
+        micro = min(args.n_prompts, 32) // (1 if tiny else 2)
+        nopt = 1 if tiny else 2
+        expected = micro * (dpo_bench["rollout_score_seconds"]
+                            + nopt * dpo_bench["seconds_per_step"])
+        _check("dpo_seconds_per_step",
+               steady["dpo_seconds_per_logged_step"], expected)
+
     record = {
         "model": args.model,
         "platform": args.platform,
         "n_prompts": args.n_prompts,
+        "response_len": rlen,
+        "dpo_steps": args.dpo_steps,
+        "pope_questions": args.pope_questions or args.n_prompts,
         "numerics": numerics or {"bits": 16},
+        "rollout_numerics": rollout_numerics or {"bits": 16},
         "stage_seconds": stages,
+        "steady_state": steady,
+        "projection_check": projection_check,
         "total_seconds": round(time.perf_counter() - t_all, 1),
         "pope_num_examples": metrics["num_examples"],
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
