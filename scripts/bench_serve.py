@@ -54,7 +54,13 @@ def main():
     p.add_argument("--mode", default="both",
                    choices=("both", "continuous", "batch"))
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None,
+                   help="write the A/B record to this JSON path")
     args = p.parse_args()
+    record = {"model": args.model, "requests": args.requests,
+              "slots": args.slots, "max_new": args.max_new,
+              "bits": args.bits, "kv_bits": args.kv_bits,
+              "head_bits": args.head_bits, "query_len": args.query_len}
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
@@ -139,6 +145,10 @@ def main():
 
         run_continuous()        # compile warmup (prefill/seg/fold/admit)
         dt, lat = run_continuous()
+        record["continuous"] = {
+            "tokens_per_sec": round(total_tokens / dt, 1),
+            "latency_p50_s": round(float(np.percentile(lat, 50)), 2),
+            "latency_p95_s": round(float(np.percentile(lat, 95)), 2)}
         print(f"continuous: {args.requests} reqs ({total_tokens} tok) in "
               f"{dt:.1f}s = {total_tokens/dt:.0f} tok/s "
               f"(slots={args.slots}, seg={args.seg_len}); "
@@ -182,9 +192,23 @@ def main():
 
         run_batch()             # compile warmup per cap bucket
         dt, lat = run_batch()
+        record["batch_sync"] = {
+            "tokens_per_sec": round(total_tokens / dt, 1),
+            "latency_p50_s": round(float(np.percentile(lat, 50)), 2),
+            "latency_p95_s": round(float(np.percentile(lat, 95)), 2)}
         print(f"batch-sync: {args.requests} reqs ({total_tokens} tok) in "
               f"{dt:.1f}s = {total_tokens/dt:.0f} tok/s "
               f"(batch={args.slots}); " + lat_str(lat), flush=True)
+
+    if "continuous" in record and "batch_sync" in record:
+        record["continuous_speedup"] = round(
+            record["continuous"]["tokens_per_sec"]
+            / record["batch_sync"]["tokens_per_sec"], 2)
+    import json
+    print(json.dumps(record), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":
