@@ -43,7 +43,8 @@ class InferenceWorker:
                  max_new_tokens: int = 512, batch_window_s: float = 0.02,
                  kv_bits: int = 16, head_bits: int = 16,
                  decode_chunk: int = 0, temperature: float = 0.0,
-                 top_k: int = 0, top_p: float = 1.0):
+                 top_k: int = 0, top_p: float = 1.0,
+                 spec_k: int = 0, spec_draft: str = "ngram"):
         from opadpo_tpu.engine.sampler import Sampler
         from opadpo_tpu.engine.serving_config import make_serving_sampling
 
@@ -62,7 +63,8 @@ class InferenceWorker:
             pad_token_id=tokenizer.pad_token_id)
         self.sampler = Sampler(cfg, self.sampling, lora_scaling=lora_scaling,
                                kv_bits=kv_bits, head_bits=head_bits,
-                               chunk=decode_chunk)
+                               chunk=decode_chunk, spec_k=spec_k,
+                               spec_draft=spec_draft)
         self.params, self.lora = self.sampler.prepare_params(self.params,
                                                              self.lora)
         self.rng = jax.random.PRNGKey(0)
@@ -336,6 +338,13 @@ def main():
     p.add_argument("--pil-preprocess", action="store_true",
                    help="force the PIL image path (strict HF-numerics "
                         "parity) instead of the native C++ JPEG pipeline")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="speculative decoding: verify k draft tokens per "
+                        "group (batch micro-batching mode only; exact "
+                        "distribution; small-batch latency lever)")
+    p.add_argument("--spec-draft", default="ngram",
+                   choices=("ngram", "pad"),
+                   help="draft source for --spec-k")
     args = p.parse_args()
 
     if args.pil_preprocess:
@@ -382,7 +391,9 @@ def main():
                                  head_bits=args.head_bits,
                                  decode_chunk=args.decode_chunk,
                                  temperature=args.temperature,
-                                 top_k=args.top_k, top_p=args.top_p)
+                                 top_k=args.top_k, top_p=args.top_p,
+                                 spec_k=args.spec_k,
+                                 spec_draft=args.spec_draft)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(worker))
     print(f"serving on :{args.port}")
