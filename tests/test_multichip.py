@@ -462,3 +462,60 @@ def test_tensor_parallel_continuous_engine_matches_singlechip():
     for kb in (8, 4):
         for r, o in zip(refs[kb], outs[kb]):
             np.testing.assert_array_equal(o, r, err_msg=f"kv_bits={kb}")
+
+
+def test_tensor_parallel_spec_decode_matches_singlechip():
+    """Speculative decoding under the 4x2 TP mesh: the multi-query
+    verify kernel runs inside a shard_map (heads local) — greedy spec
+    tokens must match the unsharded spec sampler AND plain greedy
+    exactly, for both the bf16 and int8 prompt caches."""
+    import dataclasses
+
+    from opadpo_tpu.engine.sampler import Sampler
+    from opadpo_tpu.engine.sampling import SamplingConfig
+    from opadpo_tpu.ops import attention as attn
+
+    cfg32 = LlavaConfig(
+        llama=dataclasses.replace(CFG.llama, dtype=jnp.float32),
+        vision=dataclasses.replace(CFG.vision, dtype=jnp.float32),
+        projector=dataclasses.replace(CFG.projector, dtype=jnp.float32))
+    params = llava_model.init_params(jax.random.PRNGKey(0), cfg32)
+
+    b, l = 4, 10
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    ids = jax.random.randint(k1, (b, l), 5, cfg32.llama.vocab_size)
+    ids = ids.at[:, 2].set(IMAGE_TOKEN_INDEX)
+    mask = jnp.ones((b, l), jnp.int32)
+    sz = cfg32.vision.image_size
+    images = jax.random.normal(k2, (b, sz, sz, 3))
+    sampling = SamplingConfig(greedy=True, max_new_tokens=6,
+                              eos_token_id=-1)
+    rng = jax.random.PRNGKey(7)
+
+    ref = np.asarray(Sampler(cfg32, sampling).generate(
+        params, ids, mask, images, rng))
+    spec16 = np.asarray(Sampler(cfg32, sampling, spec_k=3).generate(
+        params, ids, mask, images, rng))
+    spec8 = np.asarray(Sampler(cfg32, sampling, kv_bits=8,
+                               spec_k=3).generate(
+        params, ids, mask, images, rng))
+    np.testing.assert_array_equal(spec16, ref)
+    np.testing.assert_array_equal(spec8, ref)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    params_tp = shard_pytree(params, param_partition_specs(params, mesh),
+                             mesh)
+    bsh = batch_sharding(mesh)
+    ids_s, mask_s, images_s = (jax.device_put(x, bsh)
+                               for x in (ids, mask, images))
+    attn.set_tp_mesh(mesh)
+    try:
+        tp16 = np.asarray(Sampler(cfg32, sampling, spec_k=3).generate(
+            params_tp, ids_s, mask_s, images_s, rng))
+        tp8 = np.asarray(Sampler(cfg32, sampling, kv_bits=8,
+                                 spec_k=3).generate(
+            params_tp, ids_s, mask_s, images_s, rng))
+    finally:
+        attn.set_tp_mesh(None)
+    np.testing.assert_array_equal(tp16, ref)
+    np.testing.assert_array_equal(tp8, ref)
