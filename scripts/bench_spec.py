@@ -49,6 +49,7 @@ def main():
     ap.add_argument("--sampled", dest="greedy", action="store_false",
                     help="temperature-1.0 top-k-30 target instead of greedy")
     ap.add_argument("--accept-rates", default="1.0,0.8,0.6")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     from opadpo_tpu.constants import IMAGE_TOKEN_INDEX
@@ -165,7 +166,7 @@ def main():
 
     run_spec("ngram")
 
-    out_path = os.path.join(
+    out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SPEC_r05.json")
     with open(out_path, "w") as f:
