@@ -138,7 +138,6 @@ def main():
         groups = int(stats["groups"])
         acc = int(stats["accepted_drafts"])
         entry = {
-            "steps_per_sec_equiv": round(toks / b / dt * b / dt * 0, 1),
             "tokens_per_sec": round(toks * b / dt if b else 0, 1),
             "emitted_per_group": round(toks / max(groups, 1), 2),
             "accept_rate": round(acc / max(groups * k, 1), 3),
@@ -146,7 +145,6 @@ def main():
             "speedup_vs_baseline": round(
                 (toks * b / dt) / (steps * b / base_dt), 2),
         }
-        del entry["steps_per_sec_equiv"]
         if args.greedy:
             entry["exact_match_baseline"] = bool(
                 np.array_equal(np.asarray(out)[:, :toks],
