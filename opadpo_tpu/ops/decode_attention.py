@@ -405,7 +405,7 @@ def decode_attention_prompt_multi(
     q: jax.Array,          # [B, H, G, hd] post-rope queries (G tokens)
     pk_q: jax.Array,       # [B, H, Sp_pad, hd] int8
     k_scale: jax.Array,    # [B, H, Sp_pad] f32
-    pv_q: jax.Array,       # [B, H, Sp_pad] f32
+    pv_q: jax.Array,       # [B, H, Sp_pad, hd] int8
     v_scale: jax.Array,    # [B, H, Sp_pad] f32
     bias: jax.Array,       # [B, Sp_pad] f32 additive (0 valid / -1e30)
     sm_scale: float,
