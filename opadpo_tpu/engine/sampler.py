@@ -300,7 +300,8 @@ class Sampler:
     def __init__(self, cfg: LlavaConfig, sampling: SamplingConfig,
                  lora_scaling: float = 1.0, unroll: bool = True,
                  kv_bits: int = 16, head_bits: int = 16, chunk: int = 0,
-                 spec_k: int = 0, spec_draft: str = "ngram"):
+                 spec_k: int = 0, spec_draft: str = "ngram",
+                 spec_advance: str = "shared"):
         assert kv_bits in (16, 8, 4), kv_bits
         assert head_bits in (16, 8, 4), head_bits
         # speculative decoding (engine/speculative.py): k drafts verified
@@ -314,6 +315,7 @@ class Sampler:
                 "spec sampling needs greedy or top_k > 0"
         self.spec_k = int(spec_k)
         self.spec_draft = spec_draft
+        self.spec_advance = spec_advance
         self._spec_fn = None
         # int4 cache: 256 is the packed group size (llama.quantize_
         # prompt_kv_int4) — every length/offset must be 256-aligned
@@ -500,7 +502,8 @@ class Sampler:
                     SpecConfig, decode_loop_spec,
                 )
                 if self._spec_fn is None:
-                    spec = SpecConfig(k=self.spec_k, draft=self.spec_draft)
+                    spec = SpecConfig(k=self.spec_k, draft=self.spec_draft,
+                                      advance=self.spec_advance)
                     self._spec_fn = jax.jit(
                         lambda p, lo, pk, pm, pos, ll, r, e, pd:
                         decode_loop_spec(

@@ -921,6 +921,160 @@ def _decode_layer_multi(x, lp, ll, pk, pv, sk, sv, *, cfg, lora_scaling,
     return x, sk, sv
 
 
+def _decode_layer_multi_pr(x, lp, ll, pk, pv, rk, rv, ck, cv, *, cfg,
+                           lora_scaling, positions, slot, raw_ok, w,
+                           pm, cos, sin, pbias=None, sp_used=None):
+    """Per-row speculative verify layer (see ``decode_forward_multi_pr``).
+
+    Two suffix regions replace the single batch-uniform buffer:
+
+    - ``rk/rv`` (raw): group-slot layout — every group writes its G rows
+      at the SHARED offset ``slot`` (plain dynamic_update_slice, no
+      per-row scatter); ``raw_ok [B, Craw]`` marks rows earlier groups
+      accepted PER ROW, and the current group adds its own rows with
+      in-group causality.  Rows a row rejected are simply never valid
+      for that row — per-row acceptance becomes a mask problem instead
+      of a layout problem, which is the TPU-friendly trade (measured
+      rule: per-row-index gathers/scatters on [B,·,H,hd] tensors
+      scalarize; masks and one-hot dots do not).
+    - ``ck/cv`` (settled): compacted KV, row t = generated token t,
+      valid below the per-row watermark ``w [B]``; written only by the
+      periodic one-hot compaction (engine/speculative.py).
+    """
+    b, g = x.shape[0], x.shape[1]
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    assert nh == nkv, "speculative verify requires MHA (7B/13B are)"
+    craw, ntot = rk.shape[1], ck.shape[1]
+    scale = hd ** -0.5
+
+    h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+    q, k, v = _qkv_proj(h, lp, ll, cfg, lora_scaling)
+    q = q.reshape(b, g, nh, hd)
+    k = k.reshape(b, g, nkv, hd)
+    v = v.reshape(b, g, nkv, hd)
+    pos_g = positions[:, None] + jnp.arange(g, dtype=positions.dtype)
+    q, k = apply_rope(q, k, cos, sin, pos_g)
+
+    rk = jax.lax.dynamic_update_slice(rk, k.astype(rk.dtype),
+                                      (0, slot, 0, 0))
+    rv = jax.lax.dynamic_update_slice(rv, v.astype(rv.dtype),
+                                      (0, slot, 0, 0))
+
+    qh = jnp.swapaxes(q, 1, 2)                       # [B, H, G, hd]
+    # raw region: prior accepted rows + this group's rows causally
+    rs = jnp.einsum("bhgd,bshd->bhgs", qh, rk,
+                    preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, craw), 1)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (g, craw), 0)
+    ingroup = (col >= slot) & (col <= slot + qi)     # [G, Craw]
+    r_valid = raw_ok[:, None, None, :] | ingroup[None, None]
+    rs = jnp.where(r_valid, rs, _NEG_INF)
+    # settled region: rows below the per-row watermark
+    cs = jnp.einsum("bhgd,bshd->bhgs", qh, ck,
+                    preferred_element_type=jnp.float32) * scale
+    trow = jax.lax.broadcasted_iota(jnp.int32, (b, ntot), 1)
+    c_valid = (trow < w[:, None])[:, None, None, :]  # [B, 1, 1, Ntot]
+    cs = jnp.where(c_valid, cs, _NEG_INF)
+
+    if isinstance(pk, dict):
+        from opadpo_tpu.ops.decode_attention import (
+            decode_attention_prompt_multi,
+        )
+        assert "q4" not in pk, "speculative verify supports kv8/kv16"
+        out_p, m_p, l_p = decode_attention_prompt_multi(
+            qh.astype(x.dtype), pk["q"], pk["scale"], pv["q"],
+            pv["scale"], pbias, scale, s_used=sp_used)
+        # three-way flash merge: prompt (kernel state) + raw + settled —
+        # two einsums instead of a concat, which would copy the settled
+        # buffer every group
+        m_r = jnp.max(rs, axis=-1)
+        m_c = jnp.max(cs, axis=-1)
+        m = jnp.maximum(m_p, jnp.maximum(m_r, m_c))
+        alpha_p = jnp.exp(m_p - m)
+        p_r = jnp.exp(rs - m[..., None])
+        p_c = jnp.exp(cs - m[..., None])
+        l = (l_p * alpha_p + jnp.sum(p_r, axis=-1)
+             + jnp.sum(p_c, axis=-1))
+        out_rc = (jnp.einsum("bhgs,bshd->bhgd", p_r.astype(rv.dtype), rv,
+                             preferred_element_type=jnp.float32)
+                  + jnp.einsum("bhgs,bshd->bhgd", p_c.astype(cv.dtype),
+                               cv, preferred_element_type=jnp.float32))
+        out = (out_p * alpha_p[..., None] + out_rc) / l[..., None]
+    else:
+        sp_scores = jnp.einsum("bhgd,bshd->bhgs", qh, pk,
+                               preferred_element_type=jnp.float32) * scale
+        sp_scores = jnp.where(pm[:, :, None, :], sp_scores, _NEG_INF)
+        sp_n = pk.shape[1]
+        scores = jnp.concatenate([sp_scores, rs, cs], axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = (jnp.einsum("bhgs,bshd->bhgd",
+                          probs[..., :sp_n].astype(pv.dtype), pv,
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bhgs,bshd->bhgd",
+                            probs[..., sp_n:sp_n + craw].astype(rv.dtype),
+                            rv, preferred_element_type=jnp.float32)
+               + jnp.einsum("bhgs,bshd->bhgd",
+                            probs[..., sp_n + craw:].astype(cv.dtype),
+                            cv, preferred_element_type=jnp.float32))
+    attn = jnp.swapaxes(out, 1, 2).reshape(b, g, nh * hd).astype(x.dtype)
+    x = x + lora_dense(attn, lp["wo"], tree_get(ll, "wo"), lora_scaling)
+    h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+    x = x + _mlp_block(h, lp, ll, lora_scaling, cfg)
+    return x, rk, rv
+
+
+def decode_forward_multi_pr(
+    params: dict,                 # {"layer_list": [...]} (unstacked)
+    cfg: LlamaConfig,
+    embeds: jax.Array,            # [B, G, D] — carry token + G−1 drafts
+    prompt_kv: list,              # L × (pk, pv) bf16 or int8 dicts
+    prompt_mask: jax.Array,       # [B, Sp]
+    raw_kv: list,                 # L × (rk [B, Craw, H, hd], rv)
+    settled_kv: list,             # L × (ck [B, Ntot, H, hd], cv)
+    slot: jax.Array,              # scalar: this group's raw write slot
+    raw_ok: jax.Array,            # [B, Craw] — prior accepted raw rows
+    w: jax.Array,                 # [B] settled watermark (valid rows)
+    positions: jax.Array,         # [B] RoPE position of embeds[:, 0]
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+    sp_used: Optional[int] = None,
+) -> Tuple[jax.Array, list]:
+    """G-token verify forward with PER-ROW acceptance support →
+    (logits [B, G, V], raw_kv).  Unlike ``decode_forward_multi`` (shared
+    min-over-batch advance), per-row acceptance state lives in masks
+    (``raw_ok``, ``w``) over a group-slot raw buffer plus a compacted
+    settled buffer — see ``engine/speculative.decode_loop_spec`` with
+    ``advance="per_row"``."""
+    cos, sin = rope_frequencies(cfg.head_dim,
+                                int(cfg.max_position_embeddings),
+                                cfg.rope_base, dtype=jnp.float32)
+    pm = (prompt_mask != 0)[:, None, :]
+    pbias = None
+    if isinstance(prompt_kv[0][0], dict):
+        sp_pad = prompt_kv[0][0]["scale"].shape[2]
+        sp = prompt_mask.shape[1]
+        pbias = jnp.pad(
+            jnp.where(prompt_mask != 0, 0.0, _NEG_INF).astype(jnp.float32),
+            ((0, 0), (0, sp_pad - sp)), constant_values=_NEG_INF)
+    kw = dict(cfg=cfg, lora_scaling=lora_scaling, positions=positions,
+              slot=slot, raw_ok=raw_ok, w=w, pm=pm, cos=cos, sin=sin,
+              pbias=pbias, sp_used=sp_used)
+
+    lora_list = tree_get(lora, "layer_list")
+    x = embeds
+    new_raw = []
+    for i, lp in enumerate(params["layer_list"]):
+        ll = lora_list[i] if lora_list is not None else None
+        pk, pv = prompt_kv[i]
+        rk, rv = raw_kv[i]
+        ck, cv = settled_kv[i]
+        x, rk, rv = _decode_layer_multi_pr(x, lp, ll, pk, pv, rk, rv,
+                                           ck, cv, **kw)
+        new_raw.append((rk, rv))
+    logits = _decode_head_multi(x, params, lora, cfg, lora_scaling)
+    return logits, new_raw
+
+
 def quantize_head_for_decode(params: dict, bits: int) -> dict:
     """Quantize ``lm_head`` in a DECODE-ONLY param layout.  The reference
     (and ``quant.quantize_params``) always skips lm_head — training and

@@ -440,6 +440,31 @@ def decode_step_multi(
         lora_scaling=lora_scaling, sp_used=sp_used)
 
 
+def decode_step_multi_pr(
+    params: dict,
+    cfg: LlavaConfig,
+    token_ids: jax.Array,       # [B, G] — carry token + G−1 draft tokens
+    prompt_kv_list: list,
+    prompt_mask: jax.Array,
+    raw_list: list,
+    settled_list: list,
+    slot: jax.Array,
+    raw_ok: jax.Array,
+    w: jax.Array,
+    positions: jax.Array,
+    lora: Optional[dict] = None,
+    lora_scaling: float = 1.0,
+    sp_used: Optional[int] = None,
+) -> Tuple[jax.Array, list]:
+    """Per-row speculative-verify step → (logits [B, G, V], raw_list)."""
+    embeds = llama_model.embed_tokens(params["llama"], token_ids)
+    return llama_model.decode_forward_multi_pr(
+        params["llama"], cfg.llama, embeds, prompt_kv_list, prompt_mask,
+        raw_list, settled_list, slot, raw_ok, w, positions,
+        lora=tree_get(lora, "llama"), lora_scaling=lora_scaling,
+        sp_used=sp_used)
+
+
 def decode_step_split(
     params: dict,
     cfg: LlavaConfig,

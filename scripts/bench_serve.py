@@ -153,6 +153,12 @@ def main():
               f"{dt:.1f}s = {total_tokens/dt:.0f} tok/s "
               f"(slots={args.slots}, seg={args.seg_len}); "
               + lat_str(lat), flush=True)
+        # free the slot-pool cache before the batch phase — at 896-token
+        # budgets × 16 slots the pool + the batch sampler's chunked cache
+        # do not fit HBM together (measured RESOURCE_EXHAUSTED)
+        del run_continuous, eng
+        import gc
+        gc.collect()
 
     if args.mode in ("both", "batch"):
         # batch-synchronous: fill a batch, run ALL of it to the batch max

@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--sampled", dest="greedy", action="store_false",
                     help="temperature-1.0 top-k-30 target instead of greedy")
     ap.add_argument("--accept-rates", default="1.0,0.8,0.6")
+    ap.add_argument("--advance", default="shared",
+                    choices=("shared", "per_row"),
+                    help="per_row: every row keeps its own accepted run "
+                         "(kills the min-over-batch throttle at B>1)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -121,34 +125,40 @@ def main():
     base_out, base_dt = timed(base_fn, *common)
     rec = {"model": args.model, "batch": b, "steps": steps, "k": k,
            "target": "greedy" if args.greedy else "sampled_topk30",
+           "advance": args.advance,
            "config": "int4_kv8_head4",
            "baseline": {"steps_per_sec": round(steps / base_dt, 1),
                         "tokens_per_sec": round(steps * b / base_dt, 1)}}
     print(json.dumps({"baseline": rec["baseline"]}), flush=True)
 
     def run_spec(draft, oracle=None, label=None):
-        spec = SpecConfig(k=k, draft=draft)
+        spec = SpecConfig(k=k, draft=draft, advance=args.advance)
         fn = jax.jit(lambda p, pk, pm, pos, ll, r, o: decode_loop_spec(
             p, cfg, list(pk), pm, pos, ll, r, sampling, spec,
             oracle_tokens=o))
         o = (oracle if oracle is not None
              else jnp.zeros((b, steps + k + 1), jnp.int32))
         (out, stats), dt = timed(fn, *common, o)
-        toks = int(stats["tokens"])
+        tk = np.asarray(stats["tokens"])
+        # shared: scalar tokens (batch-uniform); per_row: [B] per-row
+        total_toks = int(tk.sum()) if tk.ndim else int(tk) * b
+        min_toks = int(tk.min()) if tk.ndim else int(tk)
         groups = int(stats["groups"])
         acc = int(stats["accepted_drafts"])
+        # accepted_drafts counts per-row in per_row mode (≤ B·k/group)
+        denom = groups * k * (b if args.advance == "per_row" else 1)
         entry = {
-            "tokens_per_sec": round(toks * b / dt if b else 0, 1),
-            "emitted_per_group": round(toks / max(groups, 1), 2),
-            "accept_rate": round(acc / max(groups * k, 1), 3),
+            "tokens_per_sec": round(total_toks / dt, 1),
+            "emitted_per_group": round(total_toks / b / max(groups, 1), 2),
+            "accept_rate": round(acc / max(denom, 1), 3),
             "groups": groups,
             "speedup_vs_baseline": round(
-                (toks * b / dt) / (steps * b / base_dt), 2),
+                (total_toks / dt) / (steps * b / base_dt), 2),
         }
         if args.greedy:
             entry["exact_match_baseline"] = bool(
-                np.array_equal(np.asarray(out)[:, :toks],
-                               np.asarray(base_out)[:, :toks]))
+                np.array_equal(np.asarray(out)[:, :min_toks],
+                               np.asarray(base_out)[:, :min_toks]))
         rec[label or f"spec_{draft}"] = entry
         print(json.dumps({label or f"spec_{draft}": entry}), flush=True)
 

@@ -223,6 +223,75 @@ def test_sampled_spec_output_distribution_is_exact():
     np.testing.assert_allclose(counts / n, target, atol=0.015)
 
 
+def test_spec_per_row_greedy_bitmatches_normal_greedy():
+    """Per-row advance: greedy output is bit-identical to normal greedy
+    for any draft, including across compaction boundaries (small
+    compact_every forces several compactions inside 12 tokens)."""
+    sampling = SamplingConfig(greedy=True, max_new_tokens=12,
+                              eos_token_id=-1, pad_token_id=0)
+    ref = np.asarray(_run_normal(sampling))
+    for draft in ("pad", "ngram"):
+        for ce in (2, 3, 32):
+            out, stats = _run_spec(
+                sampling, SpecConfig(k=3, draft=draft, advance="per_row",
+                                     compact_every=ce))
+            np.testing.assert_array_equal(np.asarray(out), ref), (draft, ce)
+    ref8 = np.asarray(_run_normal(sampling, kv8=True))
+    out8, _ = _run_spec(sampling,
+                        SpecConfig(k=3, draft="pad", advance="per_row",
+                                   compact_every=2), kv8=True)
+    np.testing.assert_array_equal(np.asarray(out8), ref8)
+
+
+def test_spec_per_row_advances_rows_independently():
+    """A draft that is perfect for row 0 and garbage for row 1 must let
+    row 0 accept full groups while row 1 crawls — the per-row token
+    counts diverge (exactly what the shared-min rule cannot do) and the
+    output still bit-matches normal greedy."""
+    sampling = SamplingConfig(greedy=True, max_new_tokens=12,
+                              eos_token_id=-1, pad_token_id=0)
+    ref = np.asarray(_run_normal(sampling))
+    k = 3
+    oracle = np.pad(ref, ((0, 0), (0, k + 1)))
+    oracle[1] = 3                              # row 1: garbage draft
+    out, stats = _run_spec(
+        sampling, SpecConfig(k=k, draft="oracle", advance="per_row"),
+        oracle=jnp.asarray(oracle, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    # both rows finish (tokens == max_new each), but row 0 accepted
+    # drafts while row 1 accepted ~none: with per-row advance the group
+    # count sits well below row-1-alone (12 groups) yet row 1 finishing
+    # proves it kept decoding at its own pace
+    toks = np.asarray(stats["tokens"])     # convention: e−1 (excludes
+    assert toks.shape == (2,) and (toks == 11).all(), toks  # prefill tok)
+    assert int(stats["accepted_drafts"]) >= 8
+    # group COUNT is paced by the slowest row either way; the per-row
+    # win is row 0 accepting k drafts/group while row 1 crawls — the
+    # shared-min rule accepts ~nothing on this draft
+    _, stats_sh = _run_spec(
+        sampling, SpecConfig(k=k, draft="oracle", advance="shared"),
+        oracle=jnp.asarray(oracle, jnp.int32))
+    assert int(stats["accepted_drafts"]) > int(stats_sh["accepted_drafts"]) + 4, (
+        int(stats["accepted_drafts"]), int(stats_sh["accepted_drafts"]))
+
+
+def test_spec_per_row_sampled_matches_shared_exactness():
+    """Sampled per-row spec emits from the exact warped target
+    distribution — same accept/correct math as shared; here we pin that
+    the loop runs and rows stop at eos independently."""
+    sampling0 = SamplingConfig(greedy=True, max_new_tokens=4,
+                               eos_token_id=-1, pad_token_id=0)
+    probe = np.asarray(_run_normal(sampling0))
+    eos = int(probe[0, 1])
+    sampling = SamplingConfig(greedy=True, max_new_tokens=10,
+                              eos_token_id=eos, pad_token_id=0)
+    out, _ = _run_spec(sampling,
+                       SpecConfig(k=3, draft="pad", advance="per_row"))
+    row = np.asarray(out)[0]
+    hits = np.nonzero(row == eos)[0]
+    assert hits.size and hits[0] <= 2
+
+
 def test_sampler_spec_flag_matches_plain_greedy():
     """Sampler(spec_k=3) greedy generate == Sampler() greedy generate."""
     from opadpo_tpu.engine.sampler import Sampler
