@@ -44,7 +44,8 @@ class InferenceWorker:
                  kv_bits: int = 16, head_bits: int = 16,
                  decode_chunk: int = 0, temperature: float = 0.0,
                  top_k: int = 0, top_p: float = 1.0,
-                 spec_k: int = 0, spec_draft: str = "ngram"):
+                 spec_k: int = 0, spec_draft: str = "ngram",
+                 spec_advance: str = "shared"):
         from opadpo_tpu.engine.sampler import Sampler
         from opadpo_tpu.engine.serving_config import make_serving_sampling
 
@@ -64,7 +65,8 @@ class InferenceWorker:
         self.sampler = Sampler(cfg, self.sampling, lora_scaling=lora_scaling,
                                kv_bits=kv_bits, head_bits=head_bits,
                                chunk=decode_chunk, spec_k=spec_k,
-                               spec_draft=spec_draft)
+                               spec_draft=spec_draft,
+                               spec_advance=spec_advance)
         self.params, self.lora = self.sampler.prepare_params(self.params,
                                                              self.lora)
         self.rng = jax.random.PRNGKey(0)
@@ -345,6 +347,10 @@ def main():
     p.add_argument("--spec-draft", default="ngram",
                    choices=("ngram", "pad"),
                    help="draft source for --spec-k")
+    p.add_argument("--spec-advance", default="shared",
+                   choices=("shared", "per_row"),
+                   help="per_row keeps each request's accepted run "
+                        "(better at batch>1)")
     args = p.parse_args()
 
     if args.pil_preprocess:
@@ -393,7 +399,8 @@ def main():
                                  temperature=args.temperature,
                                  top_k=args.top_k, top_p=args.top_p,
                                  spec_k=args.spec_k,
-                                 spec_draft=args.spec_draft)
+                                 spec_draft=args.spec_draft,
+                                 spec_advance=args.spec_advance)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(worker))
     print(f"serving on :{args.port}")
