@@ -54,13 +54,26 @@ def main():
     p.add_argument("--mode", default="both",
                    choices=("both", "continuous", "batch"))
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--budget-mix", default="short",
+                   choices=("short", "long", "uniform"),
+                   help="response-length distribution: 'short' = "
+                        "short-heavy chat/VQA traffic (default, keeps "
+                        "historical A/B comparability); 'long' = "
+                        "long-heavy like rollout generation, where "
+                        "detailed-caption responses skew toward the "
+                        "896-token cap but EOS still varies lengths "
+                        "(reference run/online_generate.sh:79,118); "
+                        "'uniform' = every request at max_new — the "
+                        "continuous engine's worst case (no length "
+                        "variance to exploit; measures pure overhead)")
     p.add_argument("--out", default=None,
                    help="write the A/B record to this JSON path")
     args = p.parse_args()
     record = {"model": args.model, "requests": args.requests,
               "slots": args.slots, "max_new": args.max_new,
               "bits": args.bits, "kv_bits": args.kv_bits,
-              "head_bits": args.head_bits, "query_len": args.query_len}
+              "head_bits": args.head_bits, "query_len": args.query_len,
+              "budget_mix": args.budget_mix}
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
@@ -95,10 +108,17 @@ def main():
     # mixed response lengths: short-heavy, like real chat/VQA traffic
     # (fractions of max_new so the mix scales with the cap)
     mn = args.max_new
-    budgets = rng.choice(
-        [max(1, mn // 16), max(1, mn // 8), max(1, mn // 4),
-         max(1, mn // 2), mn], size=args.requests,
-        p=[0.25, 0.25, 0.2, 0.15, 0.15]).astype(int)
+    if args.budget_mix == "short":
+        budgets = rng.choice(
+            [max(1, mn // 16), max(1, mn // 8), max(1, mn // 4),
+             max(1, mn // 2), mn], size=args.requests,
+            p=[0.25, 0.25, 0.2, 0.15, 0.15]).astype(int)
+    elif args.budget_mix == "long":
+        budgets = rng.choice(
+            [max(1, mn // 4), max(1, mn // 2), max(1, 3 * mn // 4), mn],
+            size=args.requests, p=[0.1, 0.2, 0.3, 0.4]).astype(int)
+    else:  # uniform: every request runs to the cap
+        budgets = np.full(args.requests, mn, dtype=int)
     print("budgets:", np.sort(budgets)[::-1][:12], "...", flush=True)
     reqs = []
     sz = cfg.vision.image_size
