@@ -195,6 +195,7 @@ class _Slot:
     budget: int                         # per-request max_new cap
     emitted: int = 0
     finished: bool = False
+    oracle: Optional[np.ndarray] = None  # spec_draft="oracle" A/B drafts
 
 
 class ContinuousEngine:
@@ -218,7 +219,9 @@ class ContinuousEngine:
                  lora_scaling: float = 1.0, max_batch: int = 8,
                  qlen: int = 128, seg_len: int = 64, su_bucket: int = 256,
                  max_admit_group: int = 4, kv_bits: int = 8,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 spec_k: int = 0, spec_draft: str = "ngram",
+                 collect_spec_stats: bool = False):
         assert "layer_list" in params.get("llama", {}), \
             "params must be in decode layout (Sampler.prepare_params)"
         self.cfg = cfg
@@ -246,7 +249,7 @@ class ContinuousEngine:
         self.sp_splice = qlen - 1 + cfg.num_patches
         self.s_total = -(-(self.sp_splice + sampling.max_new_tokens)
                          // a) * a
-        self._queue: List[Tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
+        self._queue: List[tuple] = []   # (rid, q, m, img, budget, oracle)
         self._slots: List[Optional[_Slot]] = [None] * self.b
         self._next_id = 0
         self._state = None          # (kv, pm, pos, ll, row_len)
@@ -265,13 +268,52 @@ class ContinuousEngine:
         # r4 bench/serve divergence silently recompiled for 18 min)
         self._eos_pad = (jnp.int32(sampling.eos_token_id),
                          jnp.int32(sampling.pad_token_id))
-        self._seg_fn = jax.jit(
-            lambda p, lo, kv, pm, pos, ll, r, d0, n, su, e, pd:
-            decode_loop_unrolled(
-                p, cfg, list(kv), pm, pos, ll, r, sampling, lora=lo,
-                lora_scaling=lora_scaling, done_init=d0, max_new=n,
-                return_state=True, sp_used=su, eos_id=e, pad_id=pd),
-            static_argnums=(8, 9))
+        # speculative segments (opt-in): each segment decodes with the
+        # PER-ROW-advance spec loop (engine/speculative.py) — per-row
+        # acceptance matches the engine's per-row offsets/folds/budgets,
+        # and the settled suffix is per-token ordered exactly like the
+        # normal loop's, so the fold below is untouched.  Greedy spec is
+        # bit-identical to the non-spec engine (pinned by
+        # tests/test_continuous.py).
+        self.spec_k = int(spec_k)
+        self.spec_draft = spec_draft
+        self.collect_spec_stats = collect_spec_stats
+        self.spec_stats = {"groups": 0, "accepted_drafts": 0, "tokens": 0}
+        if spec_k:
+            assert kv_bits == 8, "spec segments need the int8 pool cache"
+            assert cfg.llama.num_heads == cfg.llama.num_kv_heads, \
+                "spec decode v1 is MHA-only"
+            assert sampling.greedy or (sampling.top_k or 0) > 0, \
+                "spec sampling needs greedy or top_k > 0"
+            from opadpo_tpu.engine.speculative import (
+                SpecConfig, decode_loop_spec,
+            )
+            spec = SpecConfig(k=int(spec_k), draft=spec_draft,
+                              advance="per_row",
+                              compact_every=max(4, min(32, seg_len)))
+
+            def _spec_seg(p, lo, kv, pm, pos, ll, r, d0, n, su, e, pd,
+                          oracle):
+                out, st, stats = decode_loop_spec(
+                    p, cfg, list(kv), pm, pos, ll, r, sampling, spec,
+                    oracle_tokens=oracle, lora=lo,
+                    lora_scaling=lora_scaling, sp_used=su, eos_id=e,
+                    pad_id=pd, done_init=d0, max_new=n,
+                    return_state=True)
+                packed = jnp.stack([stats["groups"],
+                                    stats["accepted_drafts"],
+                                    jnp.sum(stats["tokens"])])
+                return out, st, packed
+
+            self._seg_fn = jax.jit(_spec_seg, static_argnums=(8, 9))
+        else:
+            self._seg_fn = jax.jit(
+                lambda p, lo, kv, pm, pos, ll, r, d0, n, su, e, pd:
+                decode_loop_unrolled(
+                    p, cfg, list(kv), pm, pos, ll, r, sampling, lora=lo,
+                    lora_scaling=lora_scaling, done_init=d0, max_new=n,
+                    return_state=True, sp_used=su, eos_id=e, pad_id=pd),
+                static_argnums=(8, 9))
         fold = (fold_suffix_per_row if kv_bits == 8
                 else fold_suffix_per_row_int4)
         self._fold_fn = jax.jit(
@@ -284,11 +326,16 @@ class ContinuousEngine:
     # -- request intake -------------------------------------------------
 
     def add_request(self, input_ids, text_mask, image,
-                    max_new: Optional[int] = None) -> int:
+                    max_new: Optional[int] = None,
+                    oracle_tokens: Optional[np.ndarray] = None) -> int:
         """Queue one request (1-D prompt ids/mask, one image).  The prompt
         is left-padded/truncated to the engine's fixed ``qlen`` bucket;
         ``max_new`` caps this request's generation (clipped to the
-        engine-wide ``sampling.max_new_tokens``, which sizes the cache)."""
+        engine-wide ``sampling.max_new_tokens``, which sizes the cache).
+        ``oracle_tokens`` feeds the ``spec_draft="oracle"`` controlled-
+        acceptance A/B: the request's draft at generated-token offset t
+        is ``oracle_tokens[t:t+k]`` (wrong entries only cost acceptance,
+        never correctness)."""
         ids = np.asarray(input_ids)[-self.qlen:]
         msk = np.asarray(text_mask)[-self.qlen:]
         q = np.zeros((self.qlen,), ids.dtype)
@@ -299,12 +346,33 @@ class ContinuousEngine:
             max(1, min(max_new, self.sampling.max_new_tokens))
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, q, m, np.asarray(image), budget))
+        ora = None if oracle_tokens is None else \
+            np.asarray(oracle_tokens, np.int32)
+        self._queue.append((rid, q, m, np.asarray(image), budget, ora))
         return rid
 
     def has_work(self) -> bool:
         return bool(self._queue) or any(
             s is not None and not s.finished for s in self._slots)
+
+    def _segment_oracle(self) -> jax.Array:
+        """[B, seg_len + k] draft-oracle slice for this segment: each
+        active row's oracle tokens at its own emitted offset (pads when
+        the row has none / the draft source is not "oracle")."""
+        pad = self.sampling.pad_token_id
+        width = self.seg_len + self.spec_k
+        if self.spec_draft != "oracle":
+            if getattr(self, "_oracle_pad", None) is None:
+                self._oracle_pad = jnp.full((self.b, width), pad,
+                                            jnp.int32)
+            return self._oracle_pad
+        ora = np.full((self.b, width), pad, np.int32)
+        for i, slot in enumerate(self._slots):
+            if slot is None or slot.finished or slot.oracle is None:
+                continue
+            chunk = slot.oracle[slot.emitted:slot.emitted + width]
+            ora[i, :len(chunk)] = chunk
+        return jnp.asarray(ora)
 
     # -- device state ---------------------------------------------------
 
@@ -406,9 +474,9 @@ class ContinuousEngine:
                 pf["key_mask"], pf["next_position"], pf["last_logits"],
                 jnp.asarray([g[0] for g in group], jnp.int32))
             self._state = [kv, pm, pos, ll, row_len]
-            for slot_idx, (rid, _, _, _, budget) in group:
+            for slot_idx, (rid, _, _, _, budget, ora) in group:
                 self._slots[slot_idx] = _Slot(request_id=rid, tokens=[],
-                                              budget=budget)
+                                              budget=budget, oracle=ora)
                 self._row_len_host[slot_idx] = self.sp_splice
 
     def step(self) -> List[Tuple[int, np.ndarray]]:
@@ -430,9 +498,19 @@ class ContinuousEngine:
 
         done0 = jnp.asarray(np.logical_not(active))
         self.rng, sub = jax.random.split(self.rng)
-        out_c, st = self._seg_fn(self.params, self.lora, kv, pm, pos, ll,
-                                 sub, done0, self.seg_len, su,
-                                 *self._eos_pad)
+        if self.spec_k:
+            out_c, st, stats_c = self._seg_fn(
+                self.params, self.lora, kv, pm, pos, ll, sub, done0,
+                self.seg_len, su, *self._eos_pad, self._segment_oracle())
+            if self.collect_spec_stats:
+                s = np.asarray(stats_c)
+                self.spec_stats["groups"] += int(s[0])
+                self.spec_stats["accepted_drafts"] += int(s[1])
+                self.spec_stats["tokens"] += int(s[2])
+        else:
+            out_c, st = self._seg_fn(self.params, self.lora, kv, pm, pos,
+                                     ll, sub, done0, self.seg_len, su,
+                                     *self._eos_pad)
         out = np.asarray(out_c)
         eos = self.sampling.eos_token_id
 

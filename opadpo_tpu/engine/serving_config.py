@@ -71,6 +71,9 @@ def make_continuous_engine(
     qlen: Optional[int] = None,
     max_admit_group: Optional[int] = None,
     rng=None,
+    spec_k: int = 0,
+    spec_draft: str = "ngram",
+    collect_spec_stats: bool = False,
 ):
     """Construct a ContinuousEngine with the pinned geometry.  Overrides
     exist for measured deviations (13B caps max_admit_group at 1-2); the
@@ -87,4 +90,6 @@ def make_continuous_engine(
         geo["max_admit_group"] = max_admit_group
     return ContinuousEngine(
         cfg, sampling, params, lora=lora, lora_scaling=lora_scaling,
-        max_batch=slots, kv_bits=kv_bits, rng=rng, **geo)
+        max_batch=slots, kv_bits=kv_bits, rng=rng, spec_k=spec_k,
+        spec_draft=spec_draft, collect_spec_stats=collect_spec_stats,
+        **geo)

@@ -152,6 +152,9 @@ def decode_loop_spec(
     sp_used: Optional[int] = None,
     eos_id: Optional[jax.Array] = None,
     pad_id: Optional[jax.Array] = None,
+    done_init: Optional[jax.Array] = None,
+    max_new: Optional[int] = None,
+    return_state: bool = False,
 ):
     """Speculative decode loop (unrolled per-layer layout, kv8/kv16
     prompt cache) → (tokens [B, max_new], stats).
@@ -171,8 +174,11 @@ def decode_loop_spec(
             last_logits, rng, sampling, spec,
             oracle_tokens=oracle_tokens, lora=lora,
             lora_scaling=lora_scaling, sp_used=sp_used, eos_id=eos_id,
-            pad_id=pad_id)
+            pad_id=pad_id, done_init=done_init, max_new=max_new,
+            return_state=return_state)
     assert spec.advance == "shared", spec.advance
+    assert not return_state and done_init is None and max_new is None, \
+        "segment mode (continuous engine) requires advance='per_row'"
     from opadpo_tpu.models import llama as llama_model
 
     b = prompt_mask.shape[0]
@@ -308,6 +314,9 @@ def _decode_loop_spec_per_row(
     sp_used: Optional[int] = None,
     eos_id: Optional[jax.Array] = None,
     pad_id: Optional[jax.Array] = None,
+    done_init: Optional[jax.Array] = None,
+    max_new: Optional[int] = None,
+    return_state: bool = False,
 ):
     """Per-row-advance speculative decode → (tokens [B, max_new], stats).
 
@@ -325,11 +334,23 @@ def _decode_loop_spec_per_row(
 
     Distribution exactness is per-row independent: each row consumes
     its own lanes of the group RNG and its own accept/correct decision,
-    identical math to the shared loop."""
+    identical math to the shared loop.
+
+    SEGMENT mode (``done_init``/``max_new``/``return_state``, mirroring
+    ``sampler.decode_loop_unrolled``'s chunk contract): run up to
+    ``max_new`` tokens per row, then return ``(out, state)`` where
+    ``state`` carries the per-token settled KV as ``suffix`` (ready for
+    the continuous engine's per-row fold), ``positions`` (next-token
+    RoPE position per row), ``last_logits`` (predicting each row's next
+    token), and ``done``.  The in-loop verify never feeds a row's LAST
+    emitted token (the next group's carry would), so segment exit runs
+    one FLUSH forward — carry token only, pad drafts — to compute that
+    token's KV (the engine folds it) and the next-token logits, then a
+    final compaction settles every pending raw row."""
     b = prompt_mask.shape[0]
     k = spec.k
     g = k + 1
-    total = sampling.max_new_tokens
+    total = max_new or sampling.max_new_tokens
     eos = sampling.eos_token_id if eos_id is None else eos_id
     pad = sampling.pad_token_id if pad_id is None else pad_id
     n_layers = len(prompt_kv_list)
@@ -351,9 +372,13 @@ def _decode_loop_spec_per_row(
     from opadpo_tpu.engine.sampling import sample_tokens
     rng, r0 = jax.random.split(rng)
     t1 = sample_tokens(r0, last_logits, sampling)
+    if done_init is not None:
+        t1 = jnp.where(done_init, pad, t1)
     out0 = jnp.full((b, total + g), pad, jnp.int32)
     out0 = out0.at[:, 0].set(t1)
     done0 = t1 == eos
+    if done_init is not None:
+        done0 = done0 | done_init
     e0 = jnp.ones((b,), jnp.int32)
 
     def cond(state):
@@ -439,11 +464,43 @@ def _decode_loop_spec_per_row(
 
     state = (e0, rng, raw0, settled0, rawtgt0, w0, jnp.int32(0),
              positions, done0, out0, jnp.int32(0))
-    (e, _, _, _, _, _, gi, _, done, out, n_acc) = jax.lax.while_loop(
-        cond, body, state)
+    (e, _, raw, settled, rawtgt, w, gi, positions, done, out,
+     n_acc) = jax.lax.while_loop(cond, body, state)
     valid = (jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
              < e[:, None])
-    out = jnp.where(valid, out, pad)[:, :total]
+    out_final = jnp.where(valid, out, pad)[:, :total]
     stats = {"groups": gi, "accepted_drafts": n_acc,
              "tokens": jnp.minimum(e, total) - 1}
-    return out, stats
+    if not return_state:
+        return out_final, stats
+
+    # FLUSH: one carry-only forward computes (a) the last emitted
+    # token's KV — the in-loop verify never feeds it, but the engine's
+    # fold needs every emitted token's KV — and (b) the logits that
+    # predict each row's next token (the segment-carry contract of
+    # decode_loop_unrolled).  Pad drafts ride along with rawtgt −1, so
+    # their KV rows stay invisible.
+    last_tok = jnp.take_along_axis(
+        out, jnp.maximum(e - 1, 0)[:, None], axis=1)[:, 0]
+    toks_f = jnp.concatenate(
+        [last_tok[:, None],
+         jnp.broadcast_to(jnp.asarray(pad, jnp.int32), (b, k))], axis=1)
+    slot_f = (gi % c_groups) * g
+    logits_f, raw = llava_model.decode_step_multi_pr(
+        params, cfg, toks_f, prompt_kv_list, prompt_mask,
+        list(raw), list(settled), slot_f, rawtgt >= 0, w, positions,
+        lora=lora, lora_scaling=lora_scaling, sp_used=sp_used)
+    tgt_f = jnp.concatenate(
+        [(e - 1)[:, None], jnp.full((b, k), -1, jnp.int32)], axis=1)
+    rawtgt = jax.lax.dynamic_update_slice(rawtgt, tgt_f, (0, slot_f))
+    settled = compact_suffix_pr(list(raw), list(settled), rawtgt)
+    state_out = {
+        "suffix": tuple(settled),
+        # loop invariant: positions tracks the carry token (= the last
+        # emitted one), so +1 is the next new token's RoPE position
+        "positions": positions + 1,
+        "last_logits": logits_f[:, 0].astype(jnp.float32),
+        "done": done,
+        "emitted": jnp.minimum(e, total),     # per-row tokens in `out`
+    }
+    return out_final, state_out, stats

@@ -165,7 +165,8 @@ class ContinuousWorker:
                  head_bits: int = 16, max_admit_group: int = 4,
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 1.0, kv_bits: int = 8,
-                 query_len: int = 128):
+                 query_len: int = 128, spec_k: int = 0,
+                 spec_draft: str = "ngram"):
         from opadpo_tpu.engine.sampler import Sampler
         from opadpo_tpu.engine.serving_config import (
             make_continuous_engine, make_serving_sampling,
@@ -192,7 +193,8 @@ class ContinuousWorker:
                 cfg, self.sampling, params, lora=lora,
                 lora_scaling=lora_scaling, slots=max_batch,
                 seg_len=seg_len, max_admit_group=max_admit_group,
-                kv_bits=kv_bits, qlen=query_len)
+                kv_bits=kv_bits, qlen=query_len, spec_k=spec_k,
+                spec_draft=spec_draft)
 
         self._mk_engine = mk_engine
         self.engine = mk_engine()
@@ -342,8 +344,9 @@ def main():
                         "parity) instead of the native C++ JPEG pipeline")
     p.add_argument("--spec-k", type=int, default=0,
                    help="speculative decoding: verify k draft tokens per "
-                        "group (batch micro-batching mode only; exact "
-                        "distribution; small-batch latency lever)")
+                        "group (exact distribution; small-batch latency "
+                        "lever; continuous mode uses per-row segments "
+                        "and needs kv-bits 8)")
     p.add_argument("--spec-draft", default="ngram",
                    choices=("ngram", "pad"),
                    help="draft source for --spec-k")
@@ -387,7 +390,9 @@ def main():
                                   temperature=args.temperature,
                                   top_k=args.top_k, top_p=args.top_p,
                                   kv_bits=args.kv_bits,
-                                  query_len=args.query_len)
+                                  query_len=args.query_len,
+                                  spec_k=args.spec_k,
+                                  spec_draft=args.spec_draft)
     else:
         worker = InferenceWorker(params, cfg, tokenizer, lora=lora,
                                  lora_scaling=scaling,

@@ -66,6 +66,25 @@ def main():
                         "'uniform' = every request at max_new — the "
                         "continuous engine's worst case (no length "
                         "variance to exploit; measures pure overhead)")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="speculative segments in the continuous engine: "
+                        "verify k drafts per group (per-row advance; "
+                        "greedy bit-identical; needs --kv-bits 8)")
+    p.add_argument("--spec-draft", default="ngram",
+                   choices=("ngram", "oracle", "pad"),
+                   help="'oracle' feeds each request its own warmup-run "
+                        "continuation corrupted to --spec-accept — the "
+                        "controlled-acceptance A/B (random-init weights "
+                        "make ngram acceptance unrepresentative)")
+    p.add_argument("--spec-accept", type=float, default=0.8,
+                   help="oracle draft corruption target (per-token "
+                        "keep probability)")
+    p.add_argument("--greedy", action="store_true",
+                   help="greedy decoding instead of the serving default "
+                        "(top-k 30 / top-p 0.95); forced on for "
+                        "--spec-draft oracle, whose warmup-seeded drafts "
+                        "and exact-match check need a deterministic "
+                        "target")
     p.add_argument("--out", default=None,
                    help="write the A/B record to this JSON path")
     args = p.parse_args()
@@ -138,8 +157,17 @@ def main():
     # shared constructor (engine/serving_config): program-affecting
     # values are pinned there so this benchmark's compiled programs are
     # byte-identical to serve.py's (eos/pad are traced decode args)
-    sampling = make_serving_sampling(max_new_tokens=args.max_new,
-                                     eos_token_id=-1)
+    if args.spec_k and args.spec_draft == "oracle":
+        args.greedy = True
+    if args.greedy:
+        sampling = make_serving_sampling(max_new_tokens=args.max_new,
+                                         eos_token_id=-1, greedy=True,
+                                         top_k=0, top_p=1.0,
+                                         temperature=1e-4)
+    else:
+        sampling = make_serving_sampling(max_new_tokens=args.max_new,
+                                         eos_token_id=-1)
+    record["target"] = "greedy" if args.greedy else "sampled_topk30"
 
     if args.mode in ("both", "continuous"):
         # ONE engine across warmup and timed pass: the jit wrappers are
@@ -150,25 +178,58 @@ def main():
                                      qlen=args.query_len,
                                      seg_len=args.seg_len,
                                      max_admit_group=args.admit_group,
-                                     kv_bits=args.kv_bits)
+                                     kv_bits=args.kv_bits,
+                                     spec_k=args.spec_k,
+                                     spec_draft=args.spec_draft,
+                                     collect_spec_stats=args.spec_k > 0)
 
-        def run_continuous():
-            for q, m, im, budget in reqs:
-                eng.add_request(q, m, im, max_new=budget)
+        def run_continuous(oracles=None):
+            rid_to_idx = {}
+            for i, (q, m, im, budget) in enumerate(reqs):
+                rid = eng.add_request(
+                    q, m, im, max_new=budget,
+                    oracle_tokens=None if oracles is None else oracles[i])
+                rid_to_idx[rid] = i
             t0 = time.perf_counter()
-            lat = []
+            lat, outs = [], {}
             while eng.has_work():
-                for _rid, _toks in eng.step():
+                for rid, toks in eng.step():
                     lat.append(time.perf_counter() - t0)
+                    outs[rid_to_idx[rid]] = np.asarray(toks)
             assert len(lat) == args.requests, len(lat)
-            return time.perf_counter() - t0, np.asarray(lat)
+            return time.perf_counter() - t0, np.asarray(lat), outs
 
-        run_continuous()        # compile warmup (prefill/seg/fold/admit)
-        dt, lat = run_continuous()
+        # compile warmup (prefill/seg/fold/admit); its outputs seed the
+        # oracle drafts — greedy spec is bit-identical, so the timed
+        # run's true continuations equal the warmup's
+        _, _, warm_outs = run_continuous()
+        oracles = None
+        if args.spec_k and args.spec_draft == "oracle":
+            oracles = []
+            for i in range(args.requests):
+                o = warm_outs[i].astype(np.int32).copy()
+                corrupt = rng.random(o.shape) > args.spec_accept
+                o[corrupt] = rng.integers(5, cfg.llama.vocab_size,
+                                          int(corrupt.sum()))
+                oracles.append(np.pad(o, (0, args.spec_k + 1)))
+        eng.spec_stats = {"groups": 0, "accepted_drafts": 0, "tokens": 0}
+        dt, lat, timed_outs = run_continuous(oracles)
         record["continuous"] = {
             "tokens_per_sec": round(total_tokens / dt, 1),
             "latency_p50_s": round(float(np.percentile(lat, 50)), 2),
             "latency_p95_s": round(float(np.percentile(lat, 95)), 2)}
+        if args.spec_k:
+            st = eng.spec_stats
+            record["continuous"]["spec"] = {
+                "k": args.spec_k, "draft": args.spec_draft,
+                "target_accept": (args.spec_accept
+                                  if args.spec_draft == "oracle" else None),
+                "groups": st["groups"],
+                "accepted_drafts": st["accepted_drafts"],
+                "verify_tokens": st["tokens"],
+                "exact_match_nonspec_warmup": all(
+                    np.array_equal(warm_outs[i], timed_outs[i])
+                    for i in range(args.requests))}
         print(f"continuous: {args.requests} reqs ({total_tokens} tok) in "
               f"{dt:.1f}s = {total_tokens/dt:.0f} tok/s "
               f"(slots={args.slots}, seg={args.seg_len}); "

@@ -39,13 +39,15 @@ def _request(seed: int):
 
 
 def _engine(max_batch: int, max_new: int, seg_len: int, eos: int = -1,
-            kv_bits: int = 8):
+            kv_bits: int = 8, spec_k: int = 0, spec_draft: str = "ngram"):
     sampling = SamplingConfig(greedy=True, max_new_tokens=max_new,
                               eos_token_id=eos, pad_token_id=0)
     params, _ = Sampler(CFG32, sampling,
                         kv_bits=kv_bits).prepare_params(PARAMS32)
     return ContinuousEngine(CFG32, sampling, params, max_batch=max_batch,
-                            qlen=QLEN, seg_len=seg_len, kv_bits=kv_bits)
+                            qlen=QLEN, seg_len=seg_len, kv_bits=kv_bits,
+                            spec_k=spec_k, spec_draft=spec_draft,
+                            collect_spec_stats=bool(spec_k))
 
 
 def _run_all(eng):
@@ -329,3 +331,70 @@ def test_serving_config_constructor_matches_engine_defaults():
     assert eng.b == 2 and eng.qlen == QLEN and eng.seg_len == 4
     assert eng.su_bucket == ENGINE_GEOMETRY["su_bucket"]
     assert eng.max_admit_group == ENGINE_GEOMETRY["max_admit_group"]
+
+
+# -- speculative segments (spec_k > 0) --------------------------------
+
+
+def test_spec_engine_greedy_parity_staggered():
+    """Speculative segments (per-row advance + flush) through the slot
+    pool are bit-identical to the non-spec engine, including staggered
+    admission and slot reuse (3 requests / 2 slots)."""
+    reqs = [_request(s) for s in (31, 32, 33)]
+    base = _engine(max_batch=2, max_new=8, seg_len=4)
+    rb = [base.add_request(*r) for r in reqs]
+    done_b = _run_all(base)
+
+    spec = _engine(max_batch=2, max_new=8, seg_len=4, spec_k=2)
+    rs = [spec.add_request(*r) for r in reqs]
+    done_s = _run_all(spec)
+    for i, (b, s) in enumerate(zip(rb, rs)):
+        np.testing.assert_array_equal(done_b[b], done_s[s],
+                                      err_msg=f"req {i}")
+    assert spec.spec_stats["groups"] > 0
+    # stats["tokens"] counts verify-loop tokens (the acceptance-rate
+    # denominator); each segment's carry-sampled first token is excluded
+    emitted = sum(len(done_s[r]) for r in rs)
+    assert 0 < spec.spec_stats["tokens"] < emitted
+
+
+def test_spec_engine_budgets_and_eos():
+    """Per-request budgets + a real eos id under spec segments: each
+    request stops exactly where the non-spec engine stops."""
+    reqs = [_request(s) for s in (41, 42)]
+    base = _engine(max_batch=2, max_new=6, seg_len=3, eos=5)
+    rb = [base.add_request(*reqs[0], max_new=4),
+          base.add_request(*reqs[1])]
+    done_b = _run_all(base)
+
+    spec = _engine(max_batch=2, max_new=6, seg_len=3, eos=5, spec_k=2)
+    rs = [spec.add_request(*reqs[0], max_new=4),
+          spec.add_request(*reqs[1])]
+    done_s = _run_all(spec)
+    for b, s in zip(rb, rs):
+        np.testing.assert_array_equal(done_b[b], done_s[s])
+
+
+def test_spec_engine_oracle_acceptance():
+    """spec_draft="oracle" fed each request's own greedy output accepts
+    (nearly) every draft — and stays bit-identical.  This is the
+    controlled-acceptance A/B path used on chip."""
+    reqs = [_request(s) for s in (51, 52)]
+    base = _engine(max_batch=2, max_new=8, seg_len=4)
+    rb = [base.add_request(*r) for r in reqs]
+    done_b = _run_all(base)
+
+    spec = _engine(max_batch=2, max_new=8, seg_len=4, spec_k=2,
+                   spec_draft="oracle")
+    # oracle convention: oracle_tokens[t] IS generated token t (drafts
+    # at offset e predict tokens e..e+k-1) — same as bench_spec's A/B
+    rs = [spec.add_request(*r, oracle_tokens=np.concatenate(
+            [done_b[b], np.zeros((2,), np.int32)]))
+          for r, b in zip(reqs, rb)]
+    done_s = _run_all(spec)
+    for b, s in zip(rb, rs):
+        np.testing.assert_array_equal(done_b[b], done_s[s])
+    st = spec.spec_stats
+    assert st["accepted_drafts"] > 0, st
+    # perfect oracle: ~k accepted per group (edges lose a little)
+    assert st["accepted_drafts"] >= st["groups"], st
