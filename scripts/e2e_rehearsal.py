@@ -224,7 +224,12 @@ def main() -> None:
             rollout_per_device_batch_size=1 if tiny else 2,
             step_per_device_batch_size=1 if tiny else 2,
             noptepochs=1 if tiny else 2, save_steps=1000,
-            query_len=256, response_len=max(rlen // 2, 16),
+            # --scale runs the PRODUCTION DPO shapes (query 128 /
+            # response 896, configs/llava_training_base.yaml) so the
+            # composed step is comparable to bench.py's dpo_step record
+            # and hits its warm compile cache
+            query_len=qlen if args.scale else 256,
+            response_len=rlen if args.scale else max(rlen // 2, 16),
             lora_r=4 if tiny else 64, lora_alpha=8 if tiny else 128,
             CoPO=True, CoPO_method="random", AncPO=True, warmup_steps=0))
 
