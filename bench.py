@@ -680,6 +680,18 @@ _HOT_LOOPS = {
     "dpo_step_13b": lambda: bench_dpo_step(model="13b"),
 }
 
+# Execution order under the wall-clock budget.  The 13B loops run before
+# serving_continuous and sft_step_bf16: under budget pressure the first
+# loops to survive must be the first-class BASELINE #5 evidence
+# (VERDICT r4 ask 1) — serving already has standalone A/B artifacts
+# (bench_serve --out) and the bf16 probe's outcome is a documented
+# permanent skip (does not compile on 16 GB).
+_HOT_LOOP_ORDER = (
+    "rollout_decode", "sft_step", "dpo_step",
+    "scoring_13b", "rollout_decode_13b", "dpo_step_13b",
+    "serving_continuous", "sft_step_bf16",
+)
+
 # A hot loop is only attempted when at least this much budget remains:
 # warm-cache runs finish well inside it, and a cold compile that cannot
 # finish is better skipped explicitly than timed out after eating the
@@ -903,12 +915,7 @@ def main():
     hot_loops = {}
     result["hot_loops"] = hot_loops
     emit(result)
-    # 13B loops run before sft_step_bf16: the bf16 probe's outcome is a
-    # documented permanent skip (does not compile on 16 GB) while the 13B
-    # records are first-class BASELINE #5 evidence (VERDICT r4 ask 1)
-    for name in ("rollout_decode", "sft_step", "dpo_step",
-                 "serving_continuous", "scoring_13b", "rollout_decode_13b",
-                 "dpo_step_13b", "sft_step_bf16"):
+    for name in _HOT_LOOP_ORDER:
         budget_left = remaining()
         if budget_left < _MIN_LOOP_BUDGET_S:
             hot_loops[name] = {"skipped": "budget"}

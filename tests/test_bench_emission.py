@@ -250,3 +250,18 @@ def test_malformed_quality_artifact_cannot_crash_emit(
                         lambda p: str(fake_bench))
     out = bench._annotate({"config": "w8a8_b1"})
     assert out["quality_vs_bf16"]["artifact"] == "QUALITY_r03.json"
+
+
+def test_hot_loop_order_prioritizes_13b_over_serving():
+    """Under budget pressure the first loops to survive must be the
+    first-class 13B BASELINE #5 evidence (VERDICT r4 ask 1); serving has
+    standalone A/B artifacts and bf16-SFT is a documented permanent
+    skip, so both run last."""
+    bench = _load_bench()
+    order = bench._HOT_LOOP_ORDER
+    assert set(order) == set(bench._HOT_LOOPS)
+    assert len(order) == len(bench._HOT_LOOPS)
+    serving = order.index("serving_continuous")
+    for name in ("scoring_13b", "rollout_decode_13b", "dpo_step_13b"):
+        assert order.index(name) < serving
+    assert order.index("sft_step_bf16") == len(order) - 1
