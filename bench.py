@@ -861,7 +861,7 @@ def main():
                     help="run one hot-loop bench and print its JSON "
                          "(used by the subprocess isolation)")
     ap.add_argument("--budget-s", type=float,
-                    default=float(os.environ.get("BENCH_BUDGET_S", "3300")),
+                    default=float(os.environ.get("BENCH_BUDGET_S", "5400")),
                     help="total wall-clock budget; remaining hot loops "
                          "are skipped (marked) once it is exhausted")
     args = ap.parse_args()
