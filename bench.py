@@ -446,6 +446,19 @@ def bench_sft_step(b: int = 4, seq: int = 1600, iters: int = 2,
     cfg = LlavaConfig.llava_7b()
     lora_cfg = LoraConfig(rank=64, alpha=128.0)
 
+    if quant_mode == "bf16" and os.environ.get("BENCH_PROBE_BF16") != "1":
+        # Static skip, measured repeatedly (r4 09:48, r5 11:36): bf16 7B
+        # SFT does not compile on 16 GB at ANY batch (B=1 compile-OOMs:
+        # HTTP 500 tpu_compile_helper exit 1).  Re-probing every bench
+        # run adds no information and the compile-OOM appears to RESTART
+        # the axon service, invalidating the persistent compile cache
+        # for every later run (observed 2026-08-20 ~11:41).  Set
+        # BENCH_PROBE_BF16=1 to re-measure live (e.g. on a bigger chip).
+        return {"skipped": "bf16 7B SFT does not compile on 16 GB "
+                           "(static skip; measured r4/r5 — "
+                           "BENCH_PROBE_BF16=1 re-probes live)",
+                "config": f"bf16_r64_b{min(b, 2)}_seq{seq}"}
+
     if quant_mode == "bf16":
         quant.set_act_quant(False)
         b = min(b, 2)
@@ -861,7 +874,7 @@ def main():
                     help="run one hot-loop bench and print its JSON "
                          "(used by the subprocess isolation)")
     ap.add_argument("--budget-s", type=float,
-                    default=float(os.environ.get("BENCH_BUDGET_S", "5400")),
+                    default=float(os.environ.get("BENCH_BUDGET_S", "9000")),
                     help="total wall-clock budget; remaining hot loops "
                          "are skipped (marked) once it is exhausted")
     args = ap.parse_args()
@@ -922,7 +935,12 @@ def main():
             emit(result)
             continue
         try:
-            hot_loops[name] = _run_hot_loop_subprocess(name, budget_left)
+            # Per-loop cap: the longest observed cold compile+run is
+            # scoring_13b at ~28 min; a service that wedges mid-loop
+            # must not consume the entire remaining budget (45 min cap
+            # leaves the tail loops their attempt).
+            hot_loops[name] = _run_hot_loop_subprocess(
+                name, min(budget_left, 2700.0))
         except Exception as e:
             print(f"{name} bench failed: {e}", file=sys.stderr)
             hot_loops[name] = {"error": str(e)[:200]}
